@@ -1,0 +1,243 @@
+"""Pallas TPU kernel: batched paged-KV decode attention (GQA, online softmax).
+
+TPU-native re-design of the reference decode path
+(include/flashinfer/attention/decode.cuh:217,613 + scheduler.cuh:426-525):
+
+* The reference's split-KV CTA scheduling becomes a (batch, kv-page) grid —
+  TPU grids execute sequentially per core, so the online-softmax state
+  (m, l, acc) lives in VMEM scratch and accumulates across the page axis;
+  no separate merge kernel is needed on-chip (merge kernels still exist for
+  cascade/CP, see merge.py).
+* The reference's paged gather (page.cuh:38-180) becomes a scalar-prefetched
+  dense page table: plan() pads `kv_indices` to [batch, max_pages] and the
+  BlockSpec index_map picks each page, letting Pallas double-buffer the
+  HBM→VMEM page DMAs automatically.
+* FP8 KV-cache is handled by in-kernel upcast with k_scale/v_scale.
+
+Layout note: K/V caches are passed reshaped to [pages, page_size,
+num_kv_heads * head_dim] so all in-kernel head slicing is lane-aligned
+(multiples of 128), avoiding sublane relayouts.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...env import resolve_interpret
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _decode_kernel(
+    # scalar prefetch
+    page_table_ref,  # [B, max_pages] i32 (SMEM)
+    kv_lens_ref,  # [B] i32 (SMEM)
+    # inputs
+    q_ref,  # [1, H_q, D] (VMEM)
+    k_ref,  # [1, page_size, H_kv * D] (VMEM)
+    v_ref,  # [1, page_size, H_kv * D] (VMEM)
+    # outputs
+    o_ref,  # [1, H_q, D]
+    lse_ref,  # [1, 1, H_q] (kept 3-D so the block satisfies TPU tiling)
+    # scratch
+    m_scratch,  # [H_q, 128] f32
+    l_scratch,  # [H_q, 128] f32
+    acc_scratch,  # [H_q, D] f32
+    *,
+    num_kv_heads: int,
+    head_dim: int,
+    page_size: int,
+    sm_scale: float,
+    logits_soft_cap: float,
+    window_left: int,
+    k_scale: float,
+    v_scale: float,
+):
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    num_q_heads = q_ref.shape[1]
+    group = num_q_heads // num_kv_heads
+    kv_len = kv_lens_ref[b]
+
+    @pl.when(p == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    page_start = p * page_size
+
+    @pl.when(page_start < kv_len)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # [H_q, D]
+        k_page = k_ref[0]  # [page_size, H_kv * D]
+        v_page = v_ref[0]
+        if k_page.dtype != jnp.float32:
+            k_page = k_page.astype(jnp.float32)
+            v_page = v_page.astype(jnp.float32)
+        if k_scale != 1.0:
+            k_page = k_page * k_scale
+        if v_scale != 1.0:
+            v_page = v_page * v_scale
+
+        pos = page_start + jax.lax.broadcasted_iota(
+            jnp.int32, (1, page_size), dimension=1
+        )  # [1, page_size]
+        mask = pos < kv_len  # valid KV positions
+        if window_left >= 0:
+            # sliding window: only the last (window_left + 1) positions
+            mask = jnp.logical_and(mask, pos >= kv_len - (window_left + 1))
+
+        for h in range(num_kv_heads):
+            qh = q[h * group : (h + 1) * group, :] * sm_scale  # [G, D]
+            kh = k_page[:, h * head_dim : (h + 1) * head_dim]  # [ps, D]
+            vh = v_page[:, h * head_dim : (h + 1) * head_dim]  # [ps, D]
+            s = jax.lax.dot_general(
+                qh,
+                kh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, ps]
+            if logits_soft_cap > 0.0:
+                s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+            hs = slice(h * group, (h + 1) * group)
+            m_prev = m_scratch[hs, :]  # [G, 128]
+            l_prev = l_scratch[hs, :]
+            m_cur = jnp.max(s, axis=1, keepdims=True)  # [G, 1]
+            m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+            alpha = jnp.exp(m_prev - m_new)  # [G, 128]
+            probs = jnp.exp(s - m_new[:, :1])  # [G, ps]
+            probs = jnp.where(mask, probs, 0.0)
+            l_cur = jnp.sum(probs, axis=1, keepdims=True)  # [G, 1]
+            l_new = l_prev * alpha + jnp.broadcast_to(l_cur, l_prev.shape)
+            m_scratch[hs, :] = m_new
+            l_scratch[hs, :] = l_new
+            pv = jax.lax.dot_general(
+                probs,
+                vh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, D]
+            acc_scratch[hs, :] = acc_scratch[hs, :] * alpha[:, : 1] + pv
+
+    @pl.when(p == pl.num_programs(1) - 1)
+    def _finalize():
+        l = l_scratch[...]  # [H_q, 128]
+        m = m_scratch[...]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o = acc_scratch[...] / l_safe[:, : 1]
+        o_ref[0] = o.astype(o_ref.dtype)
+        lse = m[:, :1] + jnp.log(l_safe[:, :1])  # natural log, [H_q, 1]
+        lse = jnp.where(l[:, :1] == 0.0, -jnp.inf, lse)
+        lse_ref[0, 0] = lse[:, 0].astype(lse_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale",
+        "logits_soft_cap",
+        "window_left",
+        "k_scale",
+        "v_scale",
+        "interpret",
+    ),
+)
+def paged_decode_attention(
+    q: jax.Array,  # [B, H_q, D]
+    k_cache: jax.Array,  # [pages, page_size, H_kv, D]  (NHD)
+    v_cache: jax.Array,
+    page_table: jax.Array,  # [B, max_pages] i32, padded with 0
+    kv_lens: jax.Array,  # [B] i32
+    *,
+    sm_scale: float | None = None,
+    logits_soft_cap: float = 0.0,
+    window_left: int = -1,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched decode attention over a paged KV-cache.
+
+    Returns ``(out [B, H_q, D], lse [B, H_q])`` with lse in natural log
+    (reference semantics: flashinfer/decode.py run_return_lse).
+    """
+    batch, num_q_heads, head_dim = q.shape
+    num_pages, page_size, num_kv_heads, head_dim_kv = k_cache.shape
+    assert head_dim == head_dim_kv
+    assert num_q_heads % num_kv_heads == 0
+    max_pages = page_table.shape[1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+
+    # Lane-aligned in-kernel head slicing: fold heads into the lane dim.
+    k2 = k_cache.reshape(num_pages, page_size, num_kv_heads * head_dim)
+    v2 = v_cache.reshape(num_pages, page_size, num_kv_heads * head_dim)
+
+    grid = (batch, max_pages)
+
+    def q_map(b, p, pt, lens):
+        del p, pt, lens
+        return (b, 0, 0)
+
+    def kv_map(b, p, pt, lens):
+        del lens
+        return (pt[b, p], 0, 0)
+
+    def out_map(b, p, pt, lens):
+        del p, pt, lens
+        return (b, 0, 0)
+
+    def lse_map(b, p, pt, lens):
+        del p, pt, lens
+        return (b, 0, 0)
+
+    kernel = functools.partial(
+        _decode_kernel,
+        num_kv_heads=num_kv_heads,
+        head_dim=head_dim,
+        page_size=page_size,
+        sm_scale=float(sm_scale),
+        logits_soft_cap=float(logits_soft_cap),
+        window_left=int(window_left),
+        k_scale=float(k_scale),
+        v_scale=float(v_scale),
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, num_q_heads, head_dim), q_map),
+            pl.BlockSpec((1, page_size, num_kv_heads * head_dim), kv_map),
+            pl.BlockSpec((1, page_size, num_kv_heads * head_dim), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, num_q_heads, head_dim), out_map),
+            pl.BlockSpec((1, 1, num_q_heads), lse_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_q_heads, 128), jnp.float32),
+            pltpu.VMEM((num_q_heads, 128), jnp.float32),
+            pltpu.VMEM((num_q_heads, head_dim), jnp.float32),
+        ],
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_q_heads, head_dim), q.dtype),
+            jax.ShapeDtypeStruct((batch, 1, num_q_heads), jnp.float32),
+        ],
+        interpret=resolve_interpret(interpret),
+    )(page_table, kv_lens, q, k2, v2)
+    return out, lse[:, 0]

@@ -1,0 +1,401 @@
+"""Sorting-free sampling / renorm / speculative verification.
+
+Capability parity with reference flashinfer/sampling.py:737-1980 (kernels
+include/flashinfer/sampling.cuh:736-1672): sampling_from_probs/logits,
+top-k / top-p / min-p / joint top-k-top-p sampling, top_p_renorm_probs,
+top_k_renorm_probs, top_k_mask_logits, softmax, and
+chain_speculative_sampling.
+
+TPU re-design of the "sorting-free" contract: the reference uses dual-pivot
+rejection with block scans; the TPU-idiomatic equivalent is a fixed-round
+**binary search over the probability threshold** (pure vectorized masked
+reductions over vocab — no sort, no data-dependent shapes, scan-free on the
+hot path), followed by Gumbel-max categorical sampling. Everything is
+deterministic given a `jax.random` key — the functional analog of the
+reference's counter-based philox (seed, offset) contract (sampling.py:47),
+so sampling is reproducible and jit/replay-safe (SURVEY §2.9).
+
+All functions accept probs of shape [batch, vocab] (or [vocab]) and an
+optional `indices` arg for shared-probs batching, matching the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = float("-inf")
+
+
+def _ensure_2d(x: jax.Array) -> tuple[jax.Array, bool]:
+    if x.ndim == 1:
+        return x[None], True
+    return x, False
+
+
+def _maybe_gather(probs: jax.Array, indices: jax.Array | None) -> jax.Array:
+    """Shared-probs batching: row b uses probs[indices[b]]
+    (reference sampling.py `indices` arg)."""
+    if indices is None:
+        return probs
+    return probs[indices]
+
+
+def softmax(
+    logits: jax.Array,
+    temperature: float | jax.Array = 1.0,
+    enable_pdl: bool | None = None,
+) -> jax.Array:
+    """Fused temperature softmax (reference sampling.py softmax;
+    OnlineSoftmax kernels sampling.cuh:306-508). XLA fuses the online pass."""
+    del enable_pdl
+    lf = logits.astype(jnp.float32)
+    if not (isinstance(temperature, (int, float)) and temperature == 1.0):
+        t = jnp.asarray(temperature, jnp.float32)
+        if t.ndim == 1:
+            t = t[:, None]
+        lf = lf / jnp.maximum(t, 1e-10)
+    return jax.nn.softmax(lf, axis=-1)
+
+
+def _gumbel_argmax(key: jax.Array, log_probs: jax.Array) -> jax.Array:
+    """Exact categorical sampling via Gumbel-max; -inf rows yield index 0."""
+    g = jax.random.gumbel(key, log_probs.shape, dtype=jnp.float32)
+    return jnp.argmax(log_probs + g, axis=-1).astype(jnp.int32)
+
+
+def _threshold_search(
+    probs: jax.Array,  # [B, V] f32, assumed >= 0
+    keep_fn,  # fn(tau [B,1]) -> bool: does threshold tau keep enough?
+    iters: int = 32,
+) -> jax.Array:
+    """Binary-search the largest tau such that keep_fn(tau) holds.
+
+    keep_fn must be monotone (true for small tau). Returns tau [B, 1].
+    This is the sorting-free primitive replacing the reference's dual-pivot
+    rejection rounds (sampling.cuh:1202): O(iters) masked reductions, fully
+    vectorized on the VPU.
+    """
+    batch = probs.shape[0]
+    lo = jnp.zeros((batch, 1), jnp.float32)
+    hi = jnp.max(probs, axis=-1, keepdims=True)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) * 0.5
+        ok = keep_fn(mid)  # [B, 1] bool
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
+
+
+def _top_k_threshold(probs: jax.Array, top_k: jax.Array) -> jax.Array:
+    """tau such that the kept set {p >= tau} has >= k elements and is the
+    smallest such binary-search-resolvable set."""
+    top_k = jnp.asarray(top_k, jnp.int32).reshape(-1, 1)
+
+    def keep(tau):
+        return jnp.sum(probs >= tau, axis=-1, keepdims=True) >= top_k
+
+    return _threshold_search(probs, keep)
+
+
+def _top_p_threshold(probs: jax.Array, top_p: jax.Array) -> jax.Array:
+    top_p = jnp.asarray(top_p, jnp.float32).reshape(-1, 1)
+
+    def keep(tau):
+        mass = jnp.sum(jnp.where(probs >= tau, probs, 0.0), axis=-1, keepdims=True)
+        return mass >= top_p
+
+    return _threshold_search(probs, keep)
+
+
+def sampling_from_probs(
+    probs: jax.Array,
+    indices: jax.Array | None = None,
+    deterministic: bool = True,  # TPU kernels are always deterministic
+    key: jax.Array | None = None,
+    check_nan: bool = False,
+) -> jax.Array:
+    """Categorical sampling from probabilities (reference sampling.py:737)."""
+    del deterministic, check_nan
+    probs, squeeze = _ensure_2d(probs)
+    probs = _maybe_gather(probs, indices)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    lp = jnp.log(jnp.maximum(probs.astype(jnp.float32), 1e-38))
+    lp = jnp.where(probs > 0, lp, _NEG_INF)
+    out = _gumbel_argmax(key, lp)
+    return out[0] if squeeze else out
+
+
+def sampling_from_logits(
+    logits: jax.Array,
+    indices: jax.Array | None = None,
+    deterministic: bool = True,
+    key: jax.Array | None = None,
+    check_nan: bool = False,
+    temperature: float | jax.Array = 1.0,
+) -> jax.Array:
+    """Categorical sampling directly from logits (reference
+    sampling.py sampling_from_logits) — fused, no softmax materialization:
+    Gumbel-max on (scaled) logits is exactly softmax sampling."""
+    del deterministic, check_nan
+    logits, squeeze = _ensure_2d(logits)
+    logits = _maybe_gather(logits, indices)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    lf = logits.astype(jnp.float32)
+    if not (isinstance(temperature, (int, float)) and temperature == 1.0):
+        t = jnp.asarray(temperature, jnp.float32)
+        if t.ndim == 1:
+            t = t[:, None]
+        lf = lf / jnp.maximum(t, 1e-10)
+    out = _gumbel_argmax(key, lf)
+    return out[0] if squeeze else out
+
+
+def _masked_sample(probs: jax.Array, mask: jax.Array, key: jax.Array) -> jax.Array:
+    p = jnp.where(mask, probs, 0.0)
+    lp = jnp.where(p > 0, jnp.log(jnp.maximum(p, 1e-38)), _NEG_INF)
+    return _gumbel_argmax(key, lp)
+
+
+def top_k_sampling_from_probs(
+    probs: jax.Array,
+    top_k: int | jax.Array,
+    indices: jax.Array | None = None,
+    deterministic: bool = True,
+    key: jax.Array | None = None,
+    check_nan: bool = False,
+) -> jax.Array:
+    """Top-k restricted sampling (reference sampling.py:982-ish)."""
+    del deterministic, check_nan
+    probs, squeeze = _ensure_2d(probs)
+    probs = _maybe_gather(probs, indices)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    pf = probs.astype(jnp.float32)
+    tau = _top_k_threshold(pf, jnp.broadcast_to(jnp.asarray(top_k), (pf.shape[0],)))
+    out = _masked_sample(pf, pf >= tau, key)
+    return out[0] if squeeze else out
+
+
+def top_p_sampling_from_probs(
+    probs: jax.Array,
+    top_p: float | jax.Array,
+    indices: jax.Array | None = None,
+    deterministic: bool = True,
+    key: jax.Array | None = None,
+    check_nan: bool = False,
+) -> jax.Array:
+    """Nucleus (top-p) sampling (reference sampling.py:1108-ish)."""
+    del deterministic, check_nan
+    probs, squeeze = _ensure_2d(probs)
+    probs = _maybe_gather(probs, indices)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    pf = probs.astype(jnp.float32)
+    tau = _top_p_threshold(pf, jnp.broadcast_to(jnp.asarray(top_p), (pf.shape[0],)))
+    out = _masked_sample(pf, pf >= tau, key)
+    return out[0] if squeeze else out
+
+
+def min_p_sampling_from_probs(
+    probs: jax.Array,
+    min_p: float | jax.Array,
+    indices: jax.Array | None = None,
+    deterministic: bool = True,
+    key: jax.Array | None = None,
+    check_nan: bool = False,
+) -> jax.Array:
+    """Min-p sampling: keep tokens with p >= min_p * max(p)
+    (reference sampling.py min_p_sampling_from_probs)."""
+    del deterministic, check_nan
+    probs, squeeze = _ensure_2d(probs)
+    probs = _maybe_gather(probs, indices)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    pf = probs.astype(jnp.float32)
+    mp = jnp.broadcast_to(jnp.asarray(min_p, jnp.float32), (pf.shape[0],))[:, None]
+    tau = mp * jnp.max(pf, axis=-1, keepdims=True)
+    out = _masked_sample(pf, pf >= tau, key)
+    return out[0] if squeeze else out
+
+
+def top_k_top_p_sampling_from_probs(
+    probs: jax.Array,
+    top_k: int | jax.Array,
+    top_p: float | jax.Array,
+    indices: jax.Array | None = None,
+    filter_apply_order: str = "top_k_first",
+    deterministic: bool = True,
+    key: jax.Array | None = None,
+    check_nan: bool = False,
+) -> jax.Array:
+    """Joint top-k + top-p sampling (reference sampling.py:1579)."""
+    del deterministic, check_nan
+    probs, squeeze = _ensure_2d(probs)
+    probs = _maybe_gather(probs, indices)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    pf = probs.astype(jnp.float32)
+    batch = pf.shape[0]
+    k_arr = jnp.broadcast_to(jnp.asarray(top_k), (batch,))
+    p_arr = jnp.broadcast_to(jnp.asarray(top_p), (batch,))
+    if filter_apply_order == "top_k_first":
+        tau_k = _top_k_threshold(pf, k_arr)
+        pk = jnp.where(pf >= tau_k, pf, 0.0)
+        pk = pk / jnp.maximum(jnp.sum(pk, -1, keepdims=True), 1e-38)
+        tau_p = _top_p_threshold(pk, p_arr)
+        out = _masked_sample(pk, pk >= tau_p, key)
+    elif filter_apply_order == "joint":
+        tau_k = _top_k_threshold(pf, k_arr)
+        tau_p = _top_p_threshold(pf, p_arr)
+        mask = jnp.logical_and(pf >= tau_k, pf >= tau_p)
+        out = _masked_sample(pf, mask, key)
+    else:
+        raise ValueError(f"bad filter_apply_order {filter_apply_order!r}")
+    return out[0] if squeeze else out
+
+
+def top_k_top_p_sampling_from_logits(
+    logits: jax.Array,
+    top_k: int | jax.Array,
+    top_p: float | jax.Array,
+    indices: jax.Array | None = None,
+    filter_apply_order: str = "top_k_first",
+    deterministic: bool = True,
+    key: jax.Array | None = None,
+    check_nan: bool = False,
+) -> jax.Array:
+    probs = softmax(logits if indices is None else logits, 1.0)
+    return top_k_top_p_sampling_from_probs(
+        probs, top_k, top_p, indices, filter_apply_order,
+        deterministic, key, check_nan,
+    )
+
+
+def top_p_renorm_probs(
+    probs: jax.Array, top_p: float | jax.Array, indices: jax.Array | None = None
+) -> jax.Array:
+    """Zero out tokens outside the nucleus and renormalize
+    (reference sampling.py:1742, sampling.cuh:1672)."""
+    probs, squeeze = _ensure_2d(probs)
+    probs = _maybe_gather(probs, indices)
+    pf = probs.astype(jnp.float32)
+    tau = _top_p_threshold(pf, jnp.broadcast_to(jnp.asarray(top_p), (pf.shape[0],)))
+    pk = jnp.where(pf >= tau, pf, 0.0)
+    pk = pk / jnp.maximum(jnp.sum(pk, -1, keepdims=True), 1e-38)
+    pk = pk.astype(probs.dtype)
+    return pk[0] if squeeze else pk
+
+
+def top_k_renorm_probs(
+    probs: jax.Array, top_k: int | jax.Array, indices: jax.Array | None = None
+) -> jax.Array:
+    """Keep top-k tokens and renormalize (reference sampling.py:1831)."""
+    probs, squeeze = _ensure_2d(probs)
+    probs = _maybe_gather(probs, indices)
+    pf = probs.astype(jnp.float32)
+    tau = _top_k_threshold(pf, jnp.broadcast_to(jnp.asarray(top_k), (pf.shape[0],)))
+    pk = jnp.where(pf >= tau, pf, 0.0)
+    pk = pk / jnp.maximum(jnp.sum(pk, -1, keepdims=True), 1e-38)
+    pk = pk.astype(probs.dtype)
+    return pk[0] if squeeze else pk
+
+
+def top_k_mask_logits(
+    logits: jax.Array, top_k: int | jax.Array, indices: jax.Array | None = None
+) -> jax.Array:
+    """Mask logits outside top-k to -inf (reference sampling.py:1908)."""
+    logits, squeeze = _ensure_2d(logits)
+    logits = _maybe_gather(logits, indices)
+    lf = logits.astype(jnp.float32)
+    # threshold in probability space == threshold in logit space (monotone);
+    # search directly on shifted exp to reuse the primitive
+    mx = jnp.max(lf, axis=-1, keepdims=True)
+    pf = jnp.exp(lf - mx)
+    tau = _top_k_threshold(pf, jnp.broadcast_to(jnp.asarray(top_k), (pf.shape[0],)))
+    out = jnp.where(pf >= tau, lf, _NEG_INF).astype(logits.dtype)
+    return out[0] if squeeze else out
+
+
+def chain_speculative_sampling(
+    draft_probs: jax.Array,  # [B, n, V]
+    draft_token_ids: jax.Array,  # [B, n]
+    target_probs: jax.Array,  # [B, n+1, V]
+    maybe_output_accepted_token_num: jax.Array | None = None,
+    maybe_output_emitted_draft_token_num: jax.Array | None = None,
+    deterministic: bool = True,
+    key: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Chain speculative-decoding verification (reference sampling.py:1980).
+
+    Sequential accept/reject over the n draft tokens: token i is accepted
+    with prob min(1, target_i[tok]/draft_i[tok]); on first rejection a
+    replacement is drawn from the residual max(target-draft, 0) and the
+    chain stops. If all n accepted, a bonus token is drawn from
+    target_probs[:, n]. Returns (output_token_ids [B, n+1] with -1 padding,
+    accepted_count [B], emitted_count [B]); counts accumulate onto the
+    maybe_output_* arrays when given (reference semantics).
+    """
+    del deterministic
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    batch, n, vocab = draft_probs.shape
+    dp = draft_probs.astype(jnp.float32)
+    tp = target_probs.astype(jnp.float32)
+
+    u_key, res_key, bonus_key = jax.random.split(key, 3)
+    u = jax.random.uniform(u_key, (batch, n), dtype=jnp.float32)
+    res_keys = jax.random.split(res_key, n)
+
+    def step(carry, i):
+        alive = carry  # [B] bool: chain not yet rejected
+        tok = draft_token_ids[:, i]
+        p_draft = jnp.take_along_axis(dp[:, i], tok[:, None], axis=-1)[:, 0]
+        p_target = jnp.take_along_axis(tp[:, i], tok[:, None], axis=-1)[:, 0]
+        ratio = p_target / jnp.maximum(p_draft, 1e-38)
+        accept = jnp.logical_and(alive, u[:, i] < jnp.minimum(ratio, 1.0))
+        # residual sample where rejected this step
+        resid = jnp.maximum(tp[:, i] - dp[:, i], 0.0)
+        resid_sum = jnp.sum(resid, -1, keepdims=True)
+        # fall back to target when residual is all-zero (identical dists)
+        resid = jnp.where(resid_sum > 0, resid, tp[:, i])
+        lp = jnp.where(resid > 0, jnp.log(jnp.maximum(resid, 1e-38)), _NEG_INF)
+        rtok = _gumbel_argmax(res_keys[i], lp)
+        rejected_now = jnp.logical_and(alive, jnp.logical_not(accept))
+        out_tok = jnp.where(
+            accept, tok, jnp.where(rejected_now, rtok, -1)
+        ).astype(jnp.int32)
+        return jnp.logical_and(alive, accept), (out_tok, accept, rejected_now)
+
+    alive, (toks, accepts, rejects) = jax.lax.scan(
+        step, jnp.ones((batch,), bool), jnp.arange(n)
+    )
+    toks = toks.T  # [B, n]
+    accepted = jnp.sum(accepts.T, axis=-1).astype(jnp.int32)
+    # emitted = accepted draft tokens; +1 replacement or bonus token always emitted
+    bonus_lp = jnp.where(
+        tp[:, n] > 0, jnp.log(jnp.maximum(tp[:, n], 1e-38)), _NEG_INF
+    )
+    bonus = _gumbel_argmax(bonus_key, bonus_lp)
+    bonus_col = jnp.where(alive, bonus, -1).astype(jnp.int32)[:, None]
+    output_token_ids = jnp.concatenate([toks, bonus_col], axis=-1)
+
+    emitted = accepted  # reference: emitted draft tokens == accepted ones
+    if maybe_output_accepted_token_num is not None:
+        accepted_out = maybe_output_accepted_token_num + accepted
+    else:
+        accepted_out = accepted
+    if maybe_output_emitted_draft_token_num is not None:
+        emitted_out = maybe_output_emitted_draft_token_num + emitted
+    else:
+        emitted_out = emitted
+    return output_token_ids, accepted_out, emitted_out

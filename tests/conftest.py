@@ -1,0 +1,36 @@
+"""Test config: run on CPU with 8 virtual devices; Pallas kernels run in
+interpreter mode (auto-resolved by flashinfer_tpu.env.resolve_interpret).
+
+Mirrors the reference's test strategy (SURVEY §4): parametrized unit tests
+vs pure-jnp references; interpreter-mode Pallas replaces the "fake backend"
+so CI needs no TPUs. On a real TPU host, set FLASHINFER_TPU_TEST_TPU=1 to
+test compiled kernels on-device.
+"""
+
+import os
+
+_ON_TPU = bool(os.environ.get("FLASHINFER_TPU_TEST_TPU"))
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import jax
+
+if not _ON_TPU:
+    # The axon sitecustomize (real-TPU tunnel) calls
+    # jax.config.update("jax_platforms", "axon,cpu") at interpreter boot,
+    # overriding the env var — force it back to CPU for tests.
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
