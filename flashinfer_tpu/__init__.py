@@ -39,6 +39,13 @@ from .ops.attention.merge import (  # noqa: F401
 from .ops.attention.cascade import (  # noqa: F401
     MultiLevelCascadeAttentionWrapper,
 )
+from .ops.attention.mla import (  # noqa: F401
+    BatchMLAPagedAttentionWrapper,
+)
+from .ops.concat_ops import (  # noqa: F401
+    concat_mla_absorb_q,
+    concat_mla_k,
+)
 from .ops.sampling import (  # noqa: F401
     chain_speculative_sampling,
     min_p_sampling_from_probs,
@@ -76,4 +83,12 @@ from .ops.activation import (  # noqa: F401
     gelu_and_mul,
     gelu_tanh_and_mul,
     silu_and_mul,
+)
+from .parallel import (  # noqa: F401
+    Mapping,
+    UlyssesCommunicator,
+    allreduce_fusion,
+    make_mesh,
+    moe_ep_forward,
+    ring_attention,
 )

@@ -1,0 +1,377 @@
+"""Flagship serving model: Llama-3-geometry transformer over paged KV.
+
+This is the adopter-side model the reference leaves to vLLM/SGLang
+(SURVEY §1): token-by-token paged-KV decode and ragged prefill built
+entirely from flashinfer_tpu ops — paged decode attention (Pallas), RoPE,
+RMSNorm, gated-MLP activation, optional fused MoE — plus a
+shard_map-sharded decode step (dp × tp) used by the multi-chip dry run.
+
+Design notes (TPU-first):
+* Layers are stacked on a leading axis and driven by `lax.scan`, so the
+  whole L-layer decode compiles to ONE scanned layer body (single Pallas
+  kernel instance regardless of depth).
+* The KV cache is scan-carried per layer: xs = per-layer (params, cache),
+  ys = updated cache. All shapes static; decode never retraces.
+* TP sharding follows megatron algebra: qkv/gate/up column-split, o/w2
+  row-split with one psum each — the two collectives per layer ride ICI.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.activation import silu_and_mul
+from ..ops.attention.pallas_decode import paged_decode_attention
+from ..ops.attention.pallas_prefill import build_prefill_plan, run_prefill
+from ..ops.moe import fused_moe
+from ..ops.norm import rmsnorm
+from ..ops.routing import routing_renormalize
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_qo_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    intermediate_size: int = 14336
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    # MoE (0 experts → dense gated MLP)
+    num_experts: int = 0
+    top_k: int = 2
+
+    @classmethod
+    def llama3_8b(cls) -> "LlamaConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls, **kw) -> "LlamaConfig":
+        return replace(
+            cls(
+                vocab_size=512,
+                hidden_size=256,
+                num_layers=4,
+                num_qo_heads=8,
+                num_kv_heads=4,
+                head_dim=128,
+                intermediate_size=512,
+            ),
+            **kw,
+        )
+
+
+def init_params(key: jax.Array, cfg: LlamaConfig) -> dict:
+    """Random-normal params, layer-stacked for lax.scan."""
+    h, d = cfg.hidden_size, cfg.head_dim
+    hq, hkv = cfg.num_qo_heads, cfg.num_kv_heads
+    i_sz, l, v = cfg.intermediate_size, cfg.num_layers, cfg.vocab_size
+    keys = iter(jax.random.split(key, 16))
+
+    def w(key, *shape, scale=None):
+        scale = scale if scale is not None else 1.0 / math.sqrt(shape[-2] if len(shape) > 1 else shape[-1])
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    p = {
+        "embed": w(next(keys), v, h, scale=0.02),
+        "wq": w(next(keys), l, h, hq * d),
+        "wk": w(next(keys), l, h, hkv * d),
+        "wv": w(next(keys), l, h, hkv * d),
+        "wo": w(next(keys), l, hq * d, h),
+        "attn_norm": jnp.ones((l, h), cfg.dtype),
+        "mlp_norm": jnp.ones((l, h), cfg.dtype),
+        "final_norm": jnp.ones((h,), cfg.dtype),
+        "lm_head": w(next(keys), h, v),
+    }
+    if cfg.num_experts:
+        e = cfg.num_experts
+        p["router"] = w(next(keys), l, h, e)
+        # gate/up kept as separate trailing groups [..., 2, I] so a TP
+        # column-split of I never mixes the halves
+        p["w13"] = w(next(keys), l, e, h, 2, i_sz)
+        p["w2"] = w(next(keys), l, e, i_sz, h)
+    else:
+        p["w_gate"] = w(next(keys), l, h, i_sz)
+        p["w_up"] = w(next(keys), l, h, i_sz)
+        p["w2"] = w(next(keys), l, i_sz, h)
+    return p
+
+
+def init_kv_cache(
+    cfg: LlamaConfig, num_pages: int, page_size: int, dtype=None
+) -> tuple[jax.Array, jax.Array]:
+    shape = (cfg.num_layers, num_pages, page_size, cfg.num_kv_heads, cfg.head_dim)
+    dtype = dtype or cfg.dtype
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """RoPE on [B(, S), H, D] with per-row positions [B(, S)] (interleaved
+    halves, reference pos_enc.cuh rotary convention)."""
+    d = x.shape[-1]
+    half = d // 2
+    freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    ang = positions[..., None].astype(jnp.float32)[..., None, :] * freqs  # [...,1,half]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+    ).astype(x.dtype)
+
+
+def _append_decode_kv(
+    k_cache_l: jax.Array,  # [pages, ps, Hkv, D]
+    v_cache_l: jax.Array,
+    k_new: jax.Array,  # [B, Hkv, D]
+    v_new: jax.Array,
+    page_table: jax.Array,  # [B, P]
+    positions: jax.Array,  # [B] token position being written
+) -> tuple[jax.Array, jax.Array]:
+    ps = k_cache_l.shape[1]
+    batch = positions.shape[0]
+    entry = page_table[jnp.arange(batch), positions // ps]
+    off = positions % ps
+    k_cache_l = k_cache_l.at[entry, off].set(k_new.astype(k_cache_l.dtype))
+    v_cache_l = v_cache_l.at[entry, off].set(v_new.astype(v_cache_l.dtype))
+    return k_cache_l, v_cache_l
+
+
+def _mlp(cfg: LlamaConfig, lp: dict, x: jax.Array) -> jax.Array:
+    if cfg.num_experts:
+        logits = (x @ lp["router"]).astype(jnp.float32)
+        ids, wts = routing_renormalize(logits, cfg.top_k)
+        e, h, _, i_loc = lp["w13"].shape
+        w13 = lp["w13"].reshape(e, h, 2 * i_loc)
+        return fused_moe(x, w13, lp["w2"], ids, wts).astype(x.dtype)
+    gate = x @ lp["w_gate"]
+    up = x @ lp["w_up"]
+    return silu_and_mul(jnp.concatenate([gate, up], axis=-1)) @ lp["w2"]
+
+
+def _layer_keys(cfg: LlamaConfig) -> tuple[str, ...]:
+    base = ("wq", "wk", "wv", "wo", "attn_norm", "mlp_norm")
+    if cfg.num_experts:
+        return base + ("router", "w13", "w2")
+    return base + ("w_gate", "w_up", "w2")
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def decode_step(
+    params: dict,
+    cfg: LlamaConfig,
+    kv_caches: tuple[jax.Array, jax.Array],  # [L, pages, ps, Hkv, D] each
+    token_ids: jax.Array,  # [B]
+    positions: jax.Array,  # [B] position of the new token (== prior kv_len)
+    page_table: jax.Array,  # [B, P]
+    kv_lens: jax.Array,  # [B] kv length INCLUDING the new token
+    *,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """One decode step for a batch; returns (logits [B, V], updated caches)."""
+    x = params["embed"][token_ids].astype(cfg.dtype)  # [B, H]
+    d, hq, hkv = cfg.head_dim, cfg.num_qo_heads, cfg.num_kv_heads
+    batch = token_ids.shape[0]
+
+    layer_params = {k: params[k] for k in _layer_keys(cfg)}
+    k_all, v_all = kv_caches
+
+    def layer(x, xs):
+        lp, k_c, v_c = xs
+        h_in = x
+        x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
+        q = (x @ lp["wq"]).reshape(batch, hq, d)
+        k = (x @ lp["wk"]).reshape(batch, hkv, d)
+        v = (x @ lp["wv"]).reshape(batch, hkv, d)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+        k_c, v_c = _append_decode_kv(k_c, v_c, k, v, page_table, positions)
+        attn, _ = paged_decode_attention(
+            q, k_c, v_c, page_table, kv_lens, interpret=interpret
+        )
+        x = h_in + (attn.reshape(batch, hq * d) @ lp["wo"])
+        h_in = x
+        x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
+        x = h_in + _mlp(cfg, lp, x).astype(x.dtype)
+        return x, (k_c, v_c)
+
+    x, (k_all, v_all) = jax.lax.scan(layer, x, (layer_params, k_all, v_all))
+    x = rmsnorm(x, params["final_norm"], eps=cfg.rms_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, (k_all, v_all)
+
+
+def prefill(
+    params: dict,
+    cfg: LlamaConfig,
+    token_ids: jax.Array,  # [total_q] ragged tokens
+    qo_indptr,  # host [B+1]
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Ragged causal prefill; returns hidden states [total_q, H].
+
+    Uses the flat-item Pallas prefill kernel via a host-built plan
+    (self-attention: kv == q tokens). KV-cache write-back is left to the
+    serving layer (append_paged_kv_cache) — this computes the activations.
+    """
+    import numpy as np
+
+    qo_indptr = np.asarray(qo_indptr, np.int64)
+    kv_lens = qo_indptr[1:] - qo_indptr[:-1]
+    plan = build_prefill_plan(
+        qo_indptr, kv_lens, cfg.num_qo_heads, cfg.num_kv_heads,
+        causal=True, kv_row_starts=qo_indptr[:-1].astype(np.int64),
+    )
+    total_q = token_ids.shape[0]
+    pos = jnp.concatenate(
+        [jnp.arange(int(e - s)) for s, e in zip(qo_indptr[:-1], qo_indptr[1:])]
+    ) if len(qo_indptr) > 1 else jnp.arange(total_q)
+
+    x = params["embed"][token_ids].astype(cfg.dtype)
+    d, hq, hkv = cfg.head_dim, cfg.num_qo_heads, cfg.num_kv_heads
+    lp_all = {k: params[k] for k in _layer_keys(cfg)}
+
+    for l in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[l], lp_all)
+        h_in = x
+        x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
+        q = (x @ lp["wq"]).reshape(total_q, hq, d)
+        k = (x @ lp["wk"]).reshape(total_q, hkv, d)
+        v = (x @ lp["wv"]).reshape(total_q, hkv, d)
+        q = _rope(q, pos, cfg.rope_theta)
+        k = _rope(k, pos, cfg.rope_theta)
+        attn, _ = run_prefill(q, k, v, plan, causal=True, interpret=interpret)
+        x = h_in + (attn.reshape(total_q, hq * d) @ lp["wo"])
+        h_in = x
+        x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
+        x = h_in + _mlp(cfg, lp, x).astype(x.dtype)
+    return rmsnorm(x, params["final_norm"], eps=cfg.rms_eps)
+
+
+# ---------------------------------------------------------------------------
+# Sharded decode: shard_map over (dp, tp) — megatron TP + data parallel
+# ---------------------------------------------------------------------------
+
+def param_specs(cfg: LlamaConfig, *, tp: str = "tp") -> dict:
+    """PartitionSpec per param: column-split qkv/gate/up, row-split o/w2."""
+    sp = {
+        "embed": P(None, None),
+        "wq": P(None, None, tp),
+        "wk": P(None, None, tp),
+        "wv": P(None, None, tp),
+        "wo": P(None, tp, None),
+        "attn_norm": P(None, None),
+        "mlp_norm": P(None, None),
+        "final_norm": P(None),
+        "lm_head": P(None, tp),
+    }
+    if cfg.num_experts:
+        sp.update(
+            router=P(None, None, None),
+            w13=P(None, None, None, None, tp),
+            w2=P(None, None, tp, None),
+        )
+    else:
+        sp.update(
+            w_gate=P(None, None, tp),
+            w_up=P(None, None, tp),
+            w2=P(None, tp, None),
+        )
+    return sp
+
+
+def make_sharded_decode_fn(
+    cfg: LlamaConfig, mesh: Mesh, *, dp: str = "dp", tp: str = "tp",
+    interpret: bool | None = None,
+):
+    """Build a jitted shard_map decode step over mesh axes (dp, tp).
+
+    Batch shards over dp; heads/intermediate shard over tp with one psum
+    after the attention out-proj and one after the MLP down-proj (the
+    allreduce_fusion pattern, parallel/collectives.py). The KV cache
+    shards over (dp on pages? no — pages are per-request) tp on kv heads.
+    Returns fn(params, caches, tokens, positions, page_table, kv_lens).
+    """
+    tp_size = mesh.shape[tp]
+    cfg_local = replace(
+        cfg,
+        num_qo_heads=cfg.num_qo_heads // tp_size,
+        num_kv_heads=cfg.num_kv_heads // tp_size,
+        intermediate_size=cfg.intermediate_size // tp_size,
+        vocab_size=cfg.vocab_size // tp_size,
+    )
+
+    def local_step(params, kv_caches, token_ids, positions, page_table, kv_lens):
+        x = params["embed"][token_ids].astype(cfg.dtype)
+        batch = token_ids.shape[0]
+        d = cfg.head_dim
+        hq, hkv = cfg_local.num_qo_heads, cfg_local.num_kv_heads
+        layer_params = {k: params[k] for k in _layer_keys(cfg)}
+        k_all, v_all = kv_caches
+
+        def layer(x, xs):
+            lp, k_c, v_c = xs
+            h_in = x
+            x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
+            q = (x @ lp["wq"]).reshape(batch, hq, d)
+            k = (x @ lp["wk"]).reshape(batch, hkv, d)
+            v = (x @ lp["wv"]).reshape(batch, hkv, d)
+            q = _rope(q, positions, cfg.rope_theta)
+            k = _rope(k, positions, cfg.rope_theta)
+            k_c, v_c = _append_decode_kv(k_c, v_c, k, v, page_table, positions)
+            attn, _ = paged_decode_attention(
+                q, k_c, v_c, page_table, kv_lens, interpret=interpret
+            )
+            o = attn.reshape(batch, hq * d) @ lp["wo"]
+            x = h_in + jax.lax.psum(o, tp)
+            h_in = x
+            x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
+            y = _mlp(cfg_local, lp, x).astype(x.dtype)
+            x = h_in + jax.lax.psum(y, tp)
+            return x, (k_c, v_c)
+
+        x, (k_all, v_all) = jax.lax.scan(layer, x, (layer_params, k_all, v_all))
+        x = rmsnorm(x, params["final_norm"], eps=cfg.rms_eps)
+        logits_loc = (x @ params["lm_head"]).astype(jnp.float32)
+        logits = jax.lax.all_gather(logits_loc, tp, axis=1, tiled=True)
+        return logits, (k_all, v_all)
+
+    pspecs = param_specs(cfg, tp=tp)
+    # page pool shards over dp (each dp group owns its pages; page_table
+    # holds group-local page ids), kv heads over tp
+    cache_spec = P(None, dp, None, tp, None)
+    in_specs = (
+        pspecs,
+        (cache_spec, cache_spec),
+        P(dp),  # tokens
+        P(dp),  # positions
+        P(dp, None),  # page_table
+        P(dp),  # kv_lens
+    )
+    out_specs = (P(dp, None), (cache_spec, cache_spec))
+    fn = shard_map(
+        local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn), in_specs, out_specs
+
+
+def shard_params(params: dict, cfg: LlamaConfig, mesh: Mesh, *, tp: str = "tp"):
+    """Device_put params with the TP layout of :func:`param_specs`."""
+    specs = param_specs(cfg, tp=tp)
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+        for k, v in params.items()
+    }

@@ -1,0 +1,292 @@
+"""MLA (multi-latent attention, DeepSeek) paged decode — Pallas TPU kernel.
+
+Capability parity with reference `BatchMLAPagedAttentionWrapper`
+(flashinfer/mla/_core.py:1962; plan :2133, run :2267; kernels
+include/flashinfer/attention/mla.cuh:853, plan `MLAPlan`
+scheduler.cuh:1578). Semantics: compressed KV cache — per token one
+``head_dim_ckv`` (512) latent vector + one ``head_dim_kpe`` (64) rope
+vector shared by ALL query heads (MQA-like); attention scores are
+``q_nope·ckv + q_pe·kpe`` and the output re-uses ckv as V.
+
+TPU re-design: because KV is single-headed, the kernel is a (batch,
+kv-page) grid like decode, but with all 128 q heads (× q_len for
+speculative multi-token queries) riding the MXU M-dimension of one
+``[H·q_len, 576] × [576, page]`` matmul — no GQA packing tricks needed.
+The reference's heap-balanced split-KV plan (heap.h:15) collapses to the
+sequential page sweep with VMEM-resident online-softmax state.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...env import resolve_interpret
+from .decode import build_dense_page_table
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _mla_kernel(
+    # scalar prefetch
+    page_table_ref,  # [B, max_pages] i32
+    kv_lens_ref,  # [B] i32
+    # inputs
+    q_ref,  # [1, H*q_len, D_ckv + D_kpe]
+    kv_ref,  # [1, page_size, D_ckv + D_kpe]  (concat ckv|kpe)
+    # outputs
+    o_ref,  # [1, H*q_len, D_ckv]
+    lse_ref,  # [1, 1, H*q_len]
+    # scratch
+    m_scratch,  # [H*q_len, 128]
+    l_scratch,  # [H*q_len, 128]
+    acc_scratch,  # [H*q_len, D_ckv]
+    *,
+    num_heads: int,
+    q_len: int,
+    head_dim_ckv: int,
+    page_size: int,
+    sm_scale: float,
+    causal: bool,
+    ckv_scale: float,
+    kpe_scale: float,
+):
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    kv_len = kv_lens_ref[b]
+    rows = num_heads * q_len
+
+    @pl.when(p == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    page_start = p * page_size
+
+    @pl.when(page_start < kv_len)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32) * sm_scale  # [rows, D]
+        kv = kv_ref[0].astype(jnp.float32)  # [ps, D]
+        if ckv_scale != 1.0 or kpe_scale != 1.0:
+            d = head_dim_ckv
+            kv = jnp.concatenate(
+                [kv[:, :d] * ckv_scale, kv[:, d:] * kpe_scale], axis=1
+            )
+        s = jax.lax.dot_general(
+            q, kv, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [rows, ps]
+
+        pos = page_start + jax.lax.broadcasted_iota(
+            jnp.int32, (rows, page_size), dimension=1
+        )
+        if causal and q_len > 1:
+            # row r = token (r // H); token t sees kv_len - (q_len-1-t) entries
+            tok = jax.lax.broadcasted_iota(
+                jnp.int32, (rows, page_size), dimension=0
+            ) // num_heads
+            limit = kv_len - (q_len - 1) + tok
+        else:
+            limit = kv_len
+        mask = pos < limit
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [rows, 1]
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_new)
+        probs = jnp.exp(s - m_new[:, :1])
+        probs = jnp.where(mask, probs, 0.0)
+        l_cur = jnp.sum(probs, axis=1, keepdims=True)
+        m_scratch[...] = m_new
+        l_scratch[...] = l_prev * alpha + jnp.broadcast_to(l_cur, l_prev.shape)
+        pv = jax.lax.dot_general(
+            probs, kv[:, :head_dim_ckv],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [rows, D_ckv]
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    @pl.when(p == pl.num_programs(1) - 1)
+    def _finalize():
+        l = l_scratch[...]
+        m = m_scratch[...]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[...] / l_safe[:, :1]).astype(o_ref.dtype)
+        lse = m[:, :1] + jnp.log(l_safe[:, :1])
+        lse = jnp.where(l[:, :1] == 0.0, -jnp.inf, lse)
+        lse_ref[0, 0] = lse[:, 0].astype(lse_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "q_len", "head_dim_ckv", "sm_scale", "causal",
+        "ckv_scale", "kpe_scale", "interpret",
+    ),
+)
+def paged_mla_attention(
+    q: jax.Array,  # [B, H*q_len, D_ckv + D_kpe]  (nope|pe concat)
+    kv_cache: jax.Array,  # [pages, page_size, D_ckv + D_kpe]
+    page_table: jax.Array,  # [B, max_pages]
+    kv_lens: jax.Array,  # [B]
+    *,
+    num_heads: int,
+    q_len: int,
+    head_dim_ckv: int,
+    sm_scale: float,
+    causal: bool,
+    ckv_scale: float = 1.0,
+    kpe_scale: float = 1.0,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    batch = q.shape[0]
+    _, page_size, d_total = kv_cache.shape
+    max_pages = page_table.shape[1]
+    rows = num_heads * q_len
+
+    kernel = functools.partial(
+        _mla_kernel,
+        num_heads=num_heads, q_len=q_len, head_dim_ckv=head_dim_ckv,
+        page_size=page_size, sm_scale=float(sm_scale), causal=bool(causal),
+        ckv_scale=float(ckv_scale), kpe_scale=float(kpe_scale),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, rows, d_total), lambda b, p, pt, kl: (b, 0, 0)),
+            pl.BlockSpec(
+                (1, page_size, d_total), lambda b, p, pt, kl: (pt[b, p], 0, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, head_dim_ckv), lambda b, p, pt, kl: (b, 0, 0)),
+            pl.BlockSpec((1, 1, rows), lambda b, p, pt, kl: (b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, head_dim_ckv), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, rows, head_dim_ckv), q.dtype),
+            jax.ShapeDtypeStruct((batch, 1, rows), jnp.float32),
+        ],
+        interpret=resolve_interpret(interpret),
+    )(page_table, kv_lens, q, kv_cache)
+    return out, lse[:, 0]
+
+
+class BatchMLAPagedAttentionWrapper:
+    """MLA paged attention with the plan/run protocol (mla/_core.py:1962).
+
+    plan() builds the static dense page table host-side (the TPU analog of
+    `MLAPlan`'s pinned-memory work tables, scheduler.cuh:1578); run() is a
+    pure jitted Pallas launch. Supports uniform multi-token queries per
+    request (speculative decoding) via ``qo_indptr`` strides.
+    """
+
+    def __init__(self, float_workspace_buffer: Any = None, backend: str = "auto",
+                 *_args, **_kw) -> None:
+        del float_workspace_buffer, backend
+        self._plan: dict[str, Any] | None = None
+        self._page_table: jax.Array | None = None
+        self._kv_lens: jax.Array | None = None
+
+    def plan(
+        self,
+        qo_indptr: Any,
+        kv_indptr: Any,
+        kv_indices: Any,
+        kv_len_arr: Any,
+        num_heads: int,
+        head_dim_ckv: int,
+        head_dim_kpe: int,
+        page_size: int,
+        causal: bool,
+        sm_scale: float,
+        q_data_type: Any = jnp.bfloat16,
+        kv_data_type: Any = None,
+        use_profiler: bool = False,
+    ) -> None:
+        del q_data_type, kv_data_type, use_profiler
+        qo = np.asarray(qo_indptr, np.int64)
+        q_lens = np.diff(qo)
+        batch = len(qo) - 1
+        if batch > 0 and not (q_lens == q_lens[0]).all():
+            raise NotImplementedError(
+                "uniform q_len per request required (reference MLA decode "
+                "contract for the paged-decode path)"
+            )
+        q_len = int(q_lens[0]) if batch else 1
+        table = build_dense_page_table(
+            np.asarray(kv_indptr, np.int32), np.asarray(kv_indices, np.int32)
+        )
+        self._page_table = jnp.asarray(table)
+        self._kv_lens = jnp.asarray(np.asarray(kv_len_arr, np.int32))
+        self._plan = dict(
+            num_heads=num_heads, head_dim_ckv=head_dim_ckv,
+            head_dim_kpe=head_dim_kpe, page_size=page_size,
+            causal=bool(causal), sm_scale=float(sm_scale), q_len=q_len,
+            batch=batch,
+        )
+
+    def run(
+        self,
+        q_nope: jax.Array,  # [B*q_len, H, D_ckv]
+        q_pe: jax.Array,  # [B*q_len, H, D_kpe]
+        ckv_cache: jax.Array,  # [pages, page_size, D_ckv]
+        kpe_cache: jax.Array,  # [pages, page_size, D_kpe]
+        out: Any = None,
+        lse: Any = None,
+        return_lse: bool = False,
+        *,
+        ckv_scale: float | None = None,
+        kpe_scale: float | None = None,
+        interpret: bool | None = None,
+        **_ignored,
+    ):
+        if self._plan is None:
+            raise RuntimeError("call plan() before run()")
+        p = self._plan
+        h, d_ckv, d_kpe = p["num_heads"], p["head_dim_ckv"], p["head_dim_kpe"]
+        q_len, batch = p["q_len"], p["batch"]
+        # [B*q_len, H, D] → [B, q_len*H, D] with token-major rows
+        qn = q_nope.reshape(batch, q_len * h, d_ckv)
+        qp = q_pe.reshape(batch, q_len * h, d_kpe)
+        q = jnp.concatenate([qn, qp], axis=-1)
+        if ckv_cache.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+            kv = jnp.concatenate(
+                [ckv_cache.astype(jnp.bfloat16), kpe_cache.astype(jnp.bfloat16)],
+                axis=-1,
+            )
+        else:
+            kv = jnp.concatenate([ckv_cache, kpe_cache], axis=-1)
+        o, lse_out = paged_mla_attention(
+            q, kv, self._page_table, self._kv_lens,
+            num_heads=h, q_len=q_len, head_dim_ckv=d_ckv,
+            sm_scale=p["sm_scale"], causal=p["causal"],
+            ckv_scale=float(ckv_scale or 1.0), kpe_scale=float(kpe_scale or 1.0),
+            interpret=interpret,
+        )
+        o = o.reshape(batch * q_len, h, d_ckv)
+        lse_out = lse_out.reshape(batch * q_len, h)
+        if return_lse:
+            return o, lse_out
+        return o
+
+    run_return_lse = functools.partialmethod(run, return_lse=True)

@@ -150,6 +150,39 @@ def bench_fn(fn: Callable, *args, warmup: int = 3, iters: int = 20) -> float:
     return float(np.median(times))
 
 
+def bench_chain(fn: Callable, *args, iters: int = 32, warmup: int = 2) -> float:
+    """Seconds per call, robust to async-dispatch tunnels (axon).
+
+    `block_until_ready` can return before remote execution completes on
+    tunneled backends, so we (a) force completion with a tiny scalar
+    device→host readback of a value data-dependent on EVERY iteration,
+    and (b) subtract the measured readback/RTT floor (zero-iteration
+    baseline). The reference's analogous discipline is CUDA-event timing
+    with L2-flush rotation (flashinfer/testing/utils.py:774,937).
+    """
+    outs = [fn(*args) for _ in range(warmup)]
+    leaves = jax.tree_util.tree_leaves(outs[-1])
+    _ = np.asarray(jax.tree_util.tree_leaves(outs[-1])[0]).ravel()[0]  # sync
+
+    def run_n(n: int) -> float:
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(n):
+            out = fn(*args)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            probe = jax.numpy.ravel(leaf)[:1].astype(jax.numpy.float32)
+            acc = probe if acc is None else acc + probe
+        if acc is not None:
+            _ = np.asarray(acc)  # one scalar readback syncs the whole chain
+        else:
+            _ = np.asarray(jax.numpy.zeros((1,)))
+        return time.perf_counter() - t0
+
+    baseline = run_n(0)
+    total = run_n(iters)
+    return max((total - baseline) / iters, 1e-9)
+
+
 def attention_flops(batch, qo_len, kv_len, num_q_heads, head_dim, causal=False):
     """Attention FLOPs (reference: testing/utils.py:456-750 semantics)."""
     if causal:

@@ -1,0 +1,103 @@
+"""MLA paged decode vs dense jnp reference (reference test:
+tests/attention/test_deepseek_mla.py parameter style)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashinfer_tpu.ops.attention.mla import BatchMLAPagedAttentionWrapper
+
+
+def _ref_mla(q_nope, q_pe, ckv, kpe, kv_lens, sm_scale, causal, q_len):
+    """Dense MLA reference: per request, scores over its kv prefix."""
+    b = len(kv_lens)
+    h = q_nope.shape[1]
+    outs, lses = [], []
+    for i in range(b):
+        n = int(kv_lens[i])
+        c = ckv[i][:n]  # [n, D_ckv]
+        k = kpe[i][:n]  # [n, D_kpe]
+        for t in range(q_len):
+            row = i * q_len + t
+            s = (q_nope[row].astype(np.float32) @ c.T.astype(np.float32)
+                 + q_pe[row].astype(np.float32) @ k.T.astype(np.float32))
+            s *= sm_scale
+            if causal and q_len > 1:
+                limit = n - (q_len - 1) + t
+                s[:, limit:] = -np.inf
+            m = s.max(-1, keepdims=True)
+            p = np.exp(s - m)
+            l = p.sum(-1, keepdims=True)
+            outs.append((p / l) @ c.astype(np.float32))
+            lses.append((m + np.log(l))[:, 0])
+    return np.stack(outs), np.stack(lses)
+
+
+@pytest.mark.parametrize("batch,q_len", [(2, 1), (3, 1), (2, 2)])
+@pytest.mark.parametrize("page_size", [16, 32])
+def test_mla_vs_reference(batch, q_len, page_size):
+    h, d_ckv, d_kpe = 16, 512, 64
+    rng = np.random.default_rng(0)
+    kv_lens = rng.integers(page_size, 3 * page_size, batch)
+    pages_per = -(-kv_lens // page_size)
+    kv_indptr = np.concatenate([[0], np.cumsum(pages_per)]).astype(np.int32)
+    num_pages = int(kv_indptr[-1])
+    kv_indices = np.arange(num_pages, dtype=np.int32)
+    qo_indptr = np.arange(batch + 1, dtype=np.int32) * q_len
+
+    q_nope = rng.standard_normal((batch * q_len, h, d_ckv)).astype(np.float32)
+    q_pe = rng.standard_normal((batch * q_len, h, d_kpe)).astype(np.float32)
+    ckv_cache = rng.standard_normal((num_pages, page_size, d_ckv)).astype(np.float32)
+    kpe_cache = rng.standard_normal((num_pages, page_size, d_kpe)).astype(np.float32)
+    sm_scale = 1.0 / np.sqrt(d_ckv + d_kpe)
+
+    w = BatchMLAPagedAttentionWrapper()
+    w.plan(qo_indptr, kv_indptr, kv_indices, kv_lens.astype(np.int32),
+           h, d_ckv, d_kpe, page_size, causal=True, sm_scale=sm_scale)
+    o, lse = w.run(
+        jnp.asarray(q_nope), jnp.asarray(q_pe),
+        jnp.asarray(ckv_cache), jnp.asarray(kpe_cache), return_lse=True,
+    )
+
+    # dense per-request views
+    ckv_dense = np.stack([
+        ckv_cache[kv_indptr[i]:kv_indptr[i + 1]].reshape(-1, d_ckv)[
+            :3 * page_size].copy()
+        if pages_per[i] * page_size >= 3 * page_size else
+        np.pad(ckv_cache[kv_indptr[i]:kv_indptr[i + 1]].reshape(-1, d_ckv),
+               ((0, 3 * page_size - pages_per[i] * page_size), (0, 0)))
+        for i in range(batch)
+    ])
+    kpe_dense = np.stack([
+        np.pad(kpe_cache[kv_indptr[i]:kv_indptr[i + 1]].reshape(-1, d_kpe),
+               ((0, max(0, 3 * page_size - pages_per[i] * page_size)), (0, 0)))
+        [:3 * page_size]
+        for i in range(batch)
+    ])
+    ref_o, ref_lse = _ref_mla(
+        q_nope, q_pe, ckv_dense, kpe_dense, kv_lens, sm_scale, True, q_len
+    )
+    np.testing.assert_allclose(np.asarray(o), ref_o, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(lse), ref_lse, rtol=2e-3, atol=2e-3)
+
+
+def test_mla_fp8_kv_runs():
+    batch, h, d_ckv, d_kpe, page_size = 2, 8, 512, 64, 16
+    rng = np.random.default_rng(1)
+    kv_lens = np.array([20, 30], np.int32)
+    kv_indptr = np.array([0, 2, 4], np.int32)
+    kv_indices = np.arange(4, dtype=np.int32)
+    qo_indptr = np.arange(batch + 1, dtype=np.int32)
+    q_nope = jnp.asarray(rng.standard_normal((batch, h, d_ckv)), jnp.bfloat16)
+    q_pe = jnp.asarray(rng.standard_normal((batch, h, d_kpe)), jnp.bfloat16)
+    ckv = jnp.asarray(rng.standard_normal((4, page_size, d_ckv)),
+                      jnp.float8_e4m3fn)
+    kpe = jnp.asarray(rng.standard_normal((4, page_size, d_kpe)),
+                      jnp.float8_e4m3fn)
+    w = BatchMLAPagedAttentionWrapper()
+    w.plan(qo_indptr, kv_indptr, kv_indices, kv_lens, h, d_ckv, d_kpe,
+           page_size, causal=False, sm_scale=0.05, )
+    o = w.run(q_nope, q_pe, ckv, kpe, ckv_scale=1.5, kpe_scale=0.5)
+    assert o.shape == (batch, h, d_ckv)
+    assert bool(jnp.isfinite(o.astype(jnp.float32)).all())

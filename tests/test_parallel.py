@@ -1,0 +1,164 @@
+"""Tests for the parallelism layer on an 8-device CPU mesh.
+
+Mirrors the reference's comm test strategy (SURVEY §4): logic unit-tested
+on virtual devices; collective semantics vs dense references.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from flashinfer_tpu.parallel import (
+    Mapping,
+    UlyssesCommunicator,
+    allreduce_fusion,
+    make_mesh,
+    moe_ep_forward,
+    ring_attention,
+)
+from flashinfer_tpu.ops.moe import fused_moe
+from flashinfer_tpu.ops.norm import rmsnorm
+
+
+def test_mapping_algebra():
+    m = Mapping(world_size=16, tp_size=2, pp_size=2, cp_size=2, rank=11)
+    assert m.dp_size == 2
+    assert m.pp_rank == 1  # rank 11 = pp 1, dp 0, cp 1, tp 1
+    assert m.dp_rank == 0
+    assert m.cp_rank == 1
+    assert m.tp_rank == 1
+    assert m.tp_group() == [10, 11]
+    assert m.pp_group() == [3, 11]
+    assert m.pp_layers(9) == [5, 6, 7, 8]  # ceil(9/2)=5 → pp1 gets the tail
+    m2 = Mapping(world_size=8, tp_size=2, cp_size=2, moe_tp_size=1,
+                 moe_ep_size=4, rank=5)
+    assert m2.moe_ep_rank == 1
+    assert m2.ep_experts(8) == [2, 3]
+
+
+def test_mapping_validation():
+    with pytest.raises(ValueError):
+        Mapping(world_size=6, tp_size=4)
+    with pytest.raises(ValueError):
+        Mapping(world_size=8, tp_size=2, cp_size=2, moe_tp_size=3, moe_ep_size=1)
+
+
+def test_allreduce_fusion():
+    mesh = make_mesh(tp=4, dp=2)
+    x = jnp.arange(8 * 16, dtype=jnp.float32).reshape(8, 16) / 100
+    # residual/weight match the post-psum local block (columns/tp)
+    res = jnp.ones((8, 4), jnp.float32)
+    w = jnp.full((4,), 2.0, jnp.float32)
+
+    fn = jax.jit(shard_map(
+        lambda x, r, w: allreduce_fusion(
+            x, "tp", pattern="allreduce_residual_rmsnorm",
+            residual=r, norm_weight=w,
+        ),
+        mesh=mesh, in_specs=(P(None, "tp"), P(None, None), P(None)),
+        out_specs=(P(None, None), P(None, None)), check_vma=False,
+    ))
+    # x sharded over columns: psum sums the 4 tp shards of the SAME logical
+    # block — emulate by summing the column-split blocks
+    normed, prenorm = fn(x, res, w)
+    xs = sum(np.split(np.asarray(x), 4, axis=1))
+    expect_pre = xs + np.ones((8, 4))
+    np.testing.assert_allclose(np.asarray(prenorm), expect_pre, rtol=1e-5)
+    expect_norm = np.asarray(
+        rmsnorm(jnp.asarray(expect_pre), jnp.full((4,), 2.0))
+    )
+    np.testing.assert_allclose(np.asarray(normed), expect_norm, rtol=1e-5)
+
+
+def test_ulysses_roundtrip():
+    mesh = make_mesh(cp=4, axis_order=("cp",))
+    b, s, h, d = 2, 32, 8, 16
+    x = jnp.arange(b * s * h * d, dtype=jnp.float32).reshape(b, s, h, d)
+    comm = UlyssesCommunicator("cp", 4)
+
+    def body(x_loc):
+        y = comm.scatter_heads(x_loc)  # [B, S_glob, H_loc, D]
+        assert y.shape == (b, s, h // 4, d)
+        return comm.gather_heads(y)
+
+    fn = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=P(None, "cp"), out_specs=P(None, "cp"),
+        check_vma=False,
+    ))
+    np.testing.assert_array_equal(np.asarray(fn(x)), np.asarray(x))
+
+
+def test_ulysses_scatter_semantics():
+    mesh = make_mesh(cp=2, axis_order=("cp",))
+    b, s, h, d = 1, 4, 2, 2
+    x = jnp.arange(b * s * h * d, dtype=jnp.float32).reshape(b, s, h, d)
+
+    fn = jax.jit(shard_map(
+        lambda xl: UlyssesCommunicator("cp", 2).scatter_heads(xl),
+        mesh=mesh, in_specs=P(None, "cp"), out_specs=P(None, None, "cp"),
+        check_vma=False,
+    ))
+    y = np.asarray(fn(x))  # [B, S_glob, H, D] with heads gathered per rank
+    # rank 0 holds head 0 of ALL positions; rank 1 head 1
+    np.testing.assert_array_equal(y, np.asarray(x))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_vs_dense(causal):
+    mesh = make_mesh(cp=4, axis_order=("cp",))
+    b, s, hq, hkv, d = 2, 64, 4, 2, 32
+    key = jax.random.key(0)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, s, hq, d), jnp.float32)
+    k = jax.random.normal(kk, (b, s, hkv, d), jnp.float32)
+    v = jax.random.normal(kv_, (b, s, hkv, d), jnp.float32)
+
+    fn = jax.jit(shard_map(
+        lambda q, k, v: ring_attention(q, k, v, "cp", causal=causal),
+        mesh=mesh, in_specs=(P(None, "cp"),) * 3, out_specs=P(None, "cp"),
+        check_vma=False,
+    ))
+    out = np.asarray(fn(q, k, v))
+
+    # dense reference
+    g = hq // hkv
+    qf = np.asarray(q).reshape(b, s, hkv, g, d) / np.sqrt(d)
+    s_mat = np.einsum("bqhgd,bkhd->bhgqk", qf, np.asarray(k))
+    if causal:
+        mask = np.tril(np.ones((s, s), bool))
+        s_mat = np.where(mask[None, None, None], s_mat, -np.inf)
+    p = np.exp(s_mat - s_mat.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhgqk,bkhd->bqhgd", p, np.asarray(v)).reshape(b, s, hq, d)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_ep_vs_fused_moe():
+    ep = 4
+    mesh = make_mesh(cp=ep, axis_order=("cp",))
+    e, h, i_sz, t, topk = 8, 64, 128, 16, 2
+    key = jax.random.key(1)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    hidden = jax.random.normal(k1, (t, h), jnp.float32)
+    w13 = jax.random.normal(k2, (e, h, 2 * i_sz), jnp.float32) * 0.1
+    w2 = jax.random.normal(k3, (e, i_sz, h), jnp.float32) * 0.1
+    logits = jax.random.normal(k4, (t, e), jnp.float32)
+    wts, ids = jax.lax.top_k(jax.nn.softmax(logits), topk)
+    wts = wts / wts.sum(-1, keepdims=True)
+    ids = ids.astype(jnp.int32)
+
+    ref = np.asarray(fused_moe(hidden, w13, w2, ids, wts))
+
+    fn = jax.jit(shard_map(
+        lambda x, i, w, a, b2: moe_ep_forward(
+            x, i, w, a, b2, "cp", num_experts=e, capacity=t * topk
+        ),
+        mesh=mesh,
+        in_specs=(P("cp"), P("cp"), P("cp"), P("cp"), P("cp")),
+        out_specs=P("cp"), check_vma=False,
+    ))
+    out = np.asarray(fn(hidden, ids, wts, w13, w2))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
