@@ -63,13 +63,15 @@ def main() -> None:
     )
     kv_lens = jnp.full((batch,), kv_len, jnp.int32)
 
-    def run():
-        o, _ = paged_decode_attention(q, k_cache, v_cache, page_table, kv_lens)
-        return o
+    def step(q_cur):
+        o, _ = paged_decode_attention(
+            q_cur, k_cache, v_cache, page_table, kv_lens
+        )
+        return o  # output feeds the next query: true dependent chain
 
-    from flashinfer_tpu.testing.utils import bench_chain
+    from flashinfer_tpu.testing.utils import bench_loop
 
-    dt = bench_chain(run, iters=32)
+    dt = bench_loop(step, q, iters=32)
 
     itemsize = jnp.dtype(dtype).itemsize
     kv_bytes = 2 * batch * kv_len * num_kv_heads * head_dim * itemsize

@@ -42,6 +42,29 @@ from .ops.attention.cascade import (  # noqa: F401
 from .ops.attention.mla import (  # noqa: F401
     BatchMLAPagedAttentionWrapper,
 )
+from .ops.attention.sparse import (  # noqa: F401
+    BlockSparseAttentionWrapper,
+    VariableBlockSparseAttentionWrapper,
+)
+from .ops.attention.holistic import (  # noqa: F401
+    BatchAttention,
+    BatchAttentionWithAttentionSinkWrapper,
+    BatchPODWithPagedKVCacheWrapper,
+    PODWithPagedKVCacheWrapper,
+)
+from .ops.topk import (  # noqa: F401
+    TopKTieBreak,
+    top_k,
+    top_k_page_table_transform,
+    top_k_ragged_transform,
+    topk_varlen,
+)
+from .ops.ssm import (  # noqa: F401
+    chunk_gated_delta_rule,
+    gdn_decode,
+    recurrent_kda,
+    selective_state_update,
+)
 from .ops.concat_ops import (  # noqa: F401
     concat_mla_absorb_q,
     concat_mla_k,

@@ -57,7 +57,21 @@ def build_dense_page_table(
         raise ValueError(
             f"request needs {needed} pages > frozen max_pages {max_pages}"
         )
+    from ...native import get_lib
+
+    lib = get_lib()
     table = np.zeros((batch, max_pages), dtype=np.int32)
+    if lib is not None and batch > 0:
+        import ctypes
+
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        rc = lib.fi_build_dense_page_table(
+            np.ascontiguousarray(kv_indptr).ctypes.data_as(i32p),
+            np.ascontiguousarray(kv_indices).ctypes.data_as(i32p),
+            batch, max_pages, table.ctypes.data_as(i32p),
+        )
+        if rc == 0:
+            return table
     for i in range(batch):
         n = int(pages_per_req[i])
         table[i, :n] = kv_indices[kv_indptr[i] : kv_indptr[i] + n]
@@ -185,6 +199,7 @@ class BatchDecodeWithPagedKVCacheWrapper:
         k_scale: float | None = None,
         v_scale: float | None = None,
         return_lse: bool = False,
+        sinks: jax.Array | None = None,  # [H_q] attention-sink logits
         enable_pdl: bool | None = None,  # CUDA-ism; accepted and ignored
         interpret: bool | None = None,
     ):
@@ -215,6 +230,7 @@ class BatchDecodeWithPagedKVCacheWrapper:
             window_left=p["window_left"],
             k_scale=float(k_scale) if k_scale is not None else 1.0,
             v_scale=float(v_scale) if v_scale is not None else 1.0,
+            sinks=sinks,
             interpret=interpret,
         )
         if return_lse:

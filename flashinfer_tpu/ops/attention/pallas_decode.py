@@ -42,6 +42,7 @@ def _decode_kernel(
     q_ref,  # [1, H_q, D] (VMEM)
     k_ref,  # [1, page_size, H_kv * D] (VMEM)
     v_ref,  # [1, page_size, H_kv * D] (VMEM)
+    sinks_ref,  # [H_q, 128] f32 per-head sink logits (or -inf when unused)
     # outputs
     o_ref,  # [1, H_q, D]
     lse_ref,  # [1, 1, H_q] (kept 3-D so the block satisfies TPU tiling)
@@ -58,6 +59,7 @@ def _decode_kernel(
     window_left: int,
     k_scale: float,
     v_scale: float,
+    use_sinks: bool,
 ):
     b = pl.program_id(0)
     p = pl.program_id(1)
@@ -132,6 +134,12 @@ def _decode_kernel(
     def _finalize():
         l = l_scratch[...]  # [H_q, 128]
         m = m_scratch[...]
+        if use_sinks:
+            # StreamingLLM sink: per-head logit joins the denominator
+            # (reference variants.py attention_sink_decl, decode.py:1879)
+            sink = sinks_ref[:, :1]  # [H_q, 1]
+            m_safe0 = jnp.where(jnp.isneginf(m), 0.0, m)
+            l = l + jnp.exp(sink - m_safe0[:, :1])
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o = acc_scratch[...] / l_safe[:, : 1]
         o_ref[0] = o.astype(o_ref.dtype)
@@ -163,6 +171,7 @@ def paged_decode_attention(
     window_left: int = -1,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
+    sinks: jax.Array | None = None,  # [H_q] per-head sink logits
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched decode attention over a paged KV-cache.
@@ -200,6 +209,14 @@ def paged_decode_attention(
         del p, pt, lens
         return (b, 0, 0)
 
+    use_sinks = sinks is not None
+    if use_sinks:
+        sinks_arr = jnp.broadcast_to(
+            sinks.astype(jnp.float32)[:, None], (num_q_heads, 128)
+        )
+    else:
+        sinks_arr = jnp.full((num_q_heads, 128), -jnp.inf, jnp.float32)
+
     kernel = functools.partial(
         _decode_kernel,
         num_kv_heads=num_kv_heads,
@@ -210,6 +227,7 @@ def paged_decode_attention(
         window_left=int(window_left),
         k_scale=float(k_scale),
         v_scale=float(v_scale),
+        use_sinks=use_sinks,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -219,6 +237,7 @@ def paged_decode_attention(
             pl.BlockSpec((1, num_q_heads, head_dim), q_map),
             pl.BlockSpec((1, page_size, num_kv_heads * head_dim), kv_map),
             pl.BlockSpec((1, page_size, num_kv_heads * head_dim), kv_map),
+            pl.BlockSpec((num_q_heads, 128), lambda b, p, pt, lens: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, num_q_heads, head_dim), out_map),
@@ -239,5 +258,5 @@ def paged_decode_attention(
             jax.ShapeDtypeStruct((batch, 1, num_q_heads), jnp.float32),
         ],
         interpret=resolve_interpret(interpret),
-    )(page_table, kv_lens, q, k2, v2)
+    )(page_table, kv_lens, q, k2, v2, sinks_arr)
     return out, lse[:, 0]

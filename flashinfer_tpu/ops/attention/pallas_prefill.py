@@ -78,6 +78,9 @@ class PrefillPlan:
     num_works: int
     group: int
     num_kv_heads: int
+    # per-request padded offsets (host) — used to place custom masks
+    q_pad_starts: np.ndarray | None = None  # [B] token-row offset in padding
+    kv_pad_starts: np.ndarray | None = None  # [B] kv-row offset in padding
 
 
 def build_prefill_plan(
@@ -102,6 +105,14 @@ def build_prefill_plan(
     group = num_qo_heads // num_kv_heads
     tq_tokens = max(1, ROW_BLOCK // group)  # tokens per q tile
 
+    native = _try_native_plan(
+        qo_indptr, kv_lens, group, tq_tokens, causal,
+        kv_row_starts=kv_row_starts, page_table=page_table,
+        page_size=page_size, num_kv_heads=num_kv_heads,
+    )
+    if native is not None:
+        return native
+
     work_q_blk, work_kv_blk, work_kv_len = [], [], []
     work_qo_len, work_q_pos = [], []
     item_w, item_c, item_first, item_last = [], [], [], []
@@ -110,7 +121,11 @@ def build_prefill_plan(
 
     q_row_cursor = 0  # padded token rows emitted so far
     kv_row_cursor = 0  # padded kv rows emitted so far
+    q_pad_starts = np.zeros(batch, np.int64)
+    kv_pad_starts = np.zeros(batch, np.int64)
     for b in range(batch):
+        q_pad_starts[b] = q_row_cursor
+        kv_pad_starts[b] = kv_row_cursor
         qo_len = int(qo_indptr[b + 1] - qo_indptr[b])
         kv_len = int(kv_lens[b])
         if qo_len == 0:
@@ -207,7 +222,85 @@ def build_prefill_plan(
         num_works=len(work_q_blk),
         group=group,
         num_kv_heads=num_kv_heads,
+        q_pad_starts=q_pad_starts,
+        kv_pad_starts=kv_pad_starts,
     )
+
+
+def _try_native_plan(
+    qo_indptr, kv_lens, group, tq_tokens, causal, *, kv_row_starts,
+    page_table, page_size, num_kv_heads,
+) -> "PrefillPlan | None":
+    """Build the plan with the C++ scheduler (csrc/planner.cpp) when
+    available — byte-identical to the Python path (tested)."""
+    from ...native import native_prefill_plan
+
+    if page_table is not None:
+        page_lists = [np.asarray(p, np.int64) for p in page_table]
+        page_indptr = np.zeros(len(page_lists) + 1, np.int64)
+        np.cumsum([len(p) for p in page_lists], out=page_indptr[1:])
+        pages = (np.concatenate(page_lists) if page_lists
+                 else np.zeros(0, np.int64))
+        raw = native_prefill_plan(
+            qo_indptr, kv_lens, group, tq_tokens, ROW_BLOCK, KV_BLOCK,
+            causal, page_size=page_size, page_indptr=page_indptr,
+            pages=pages,
+        )
+    else:
+        raw = native_prefill_plan(
+            qo_indptr, kv_lens, group, tq_tokens, ROW_BLOCK, KV_BLOCK,
+            causal, page_size=0,
+            kv_row_starts=np.asarray(kv_row_starts, np.int64),
+        )
+    if raw is None:
+        return None
+    as_i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
+    s = raw["sizes"]
+    return PrefillPlan(
+        item_w=as_i32(raw["item_w"]), item_c=as_i32(raw["item_c"]),
+        item_first=as_i32(raw["item_first"]),
+        item_last=as_i32(raw["item_last"]),
+        work_q_blk=as_i32(raw["work_q_blk"]),
+        work_kv_blk=as_i32(raw["work_kv_blk"]),
+        work_kv_len=as_i32(raw["work_kv_len"]),
+        work_qo_len=as_i32(raw["work_qo_len"]),
+        work_q_pos=as_i32(raw["work_q_pos"]),
+        q_src=raw["q_src"], q_valid=raw["q_valid"].astype(bool),
+        out_src=raw["out_src"][:s["total_q"]],
+        kv_src=raw["kv_src"], kv_valid=raw["kv_valid"].astype(bool),
+        total_q=s["total_q"], tq_pad=s["tq_pad"], tkv_pad=s["tkv_pad"],
+        num_items=s["num_items"], num_works=s["num_works"],
+        group=group, num_kv_heads=num_kv_heads,
+        q_pad_starts=raw["q_pad_starts"], kv_pad_starts=raw["kv_pad_starts"],
+    )
+
+
+def build_padded_custom_mask(
+    plan: PrefillPlan,
+    qo_indptr: np.ndarray,
+    kv_lens: np.ndarray,
+    custom_mask_flat: np.ndarray,  # concat of per-request [q_len*kv_len] bools
+) -> jax.Array:
+    """Place ragged per-request masks into the padded [Tq_pad, Tkv_pad]
+    layout the kernel consumes (host-side, at plan time — the reference
+    equivalent is the packed-mask upload in prefill plan, prefill.py:2069).
+    """
+    qo_indptr = np.asarray(qo_indptr, np.int64)
+    kv_lens = np.asarray(kv_lens, np.int64)
+    flat = np.asarray(custom_mask_flat).reshape(-1)
+    mask = np.zeros((plan.tq_pad, plan.tkv_pad), np.float32)
+    off = 0
+    for b in range(len(qo_indptr) - 1):
+        ql = int(qo_indptr[b + 1] - qo_indptr[b])
+        kl = int(kv_lens[b])
+        if ql == 0:
+            continue
+        m = flat[off:off + ql * kl].reshape(ql, kl)
+        off += ql * kl
+        qs = int(plan.q_pad_starts[b])
+        ks = int(plan.kv_pad_starts[b])
+        mask[qs:qs + ql, ks:ks + kl] = m
+    return jnp.asarray(mask)
 
 
 def _prefill_kernel(
@@ -220,6 +313,7 @@ def _prefill_kernel(
     k_ref,  # [1, KV_BLOCK, D]
     v_ref,  # [1, KV_BLOCK, D]
     aux_ref,  # [1, ROW_BLOCK, 128] packed per-row (sink, alibi_slope) lanes
+    mask_ref,  # [tq_tokens, KV_BLOCK] f32 custom mask (1=keep) or dummy
     # outputs
     o_ref,  # [1, ROW_BLOCK, D]
     lse_ref,  # [1, ROW_BLOCK, 128]
@@ -237,6 +331,7 @@ def _prefill_kernel(
     v_scale: float,
     use_sinks: bool,
     use_alibi: bool,
+    use_custom_mask: bool,
 ):
     i = pl.program_id(1)
     w = item_w_ref[i]
@@ -286,6 +381,14 @@ def _prefill_kernel(
         mask = jnp.logical_and(mask, kv_pos <= q_token + diag)
     if window_left >= 0:
         mask = jnp.logical_and(mask, kv_pos >= q_token + diag - window_left)
+    if use_custom_mask:
+        # [tq_tokens, KV] → repeat each token row over its gqa group
+        cm = mask_ref[...]
+        tq_tokens = cm.shape[0]
+        cm = jnp.broadcast_to(
+            cm[:, None, :], (tq_tokens, group, cm.shape[1])
+        ).reshape(tq_tokens * group, cm.shape[1])
+        mask = jnp.logical_and(mask, cm > 0.0)
     s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
     m_prev = m_scratch[...]
@@ -324,7 +427,8 @@ def _prefill_kernel(
     jax.jit,
     static_argnames=(
         "group", "sm_scale", "causal", "logits_soft_cap", "window_left",
-        "k_scale", "v_scale", "use_sinks", "use_alibi", "interpret",
+        "k_scale", "v_scale", "use_sinks", "use_alibi", "use_custom_mask",
+        "interpret",
     ),
 )
 def prefill_packed(
@@ -332,6 +436,7 @@ def prefill_packed(
     k_packed: jax.Array,  # [H_kv, Tkv_pad, D]
     v_packed: jax.Array,
     aux_packed: jax.Array,  # [H_kv, ROW_BLOCK, 128] (sink, alibi slope) or zeros
+    mask_packed: jax.Array,  # [Tq_pad, Tkv_pad] f32 (or [tq_tokens, KV] dummy)
     plan_arrays: tuple,  # the 9 i32 plan tables
     *,
     group: int,
@@ -343,6 +448,7 @@ def prefill_packed(
     v_scale: float = 1.0,
     use_sinks: bool = False,
     use_alibi: bool = False,
+    use_custom_mask: bool = False,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Run the flat-item prefill kernel on packed layouts.
@@ -363,6 +469,13 @@ def prefill_packed(
     def aux_map(h, i, *refs):
         return (h, 0, 0)
 
+    tq_tokens = ROW_BLOCK // group
+
+    def mask_map(h, i, iw, ic, ifst, ilst, wqb, wkb, wkl, wql, wqp):
+        if use_custom_mask:
+            return (wqb[iw[i]], wkb[iw[i]] + ic[i])
+        return (0, 0)
+
     kernel = functools.partial(
         _prefill_kernel,
         group=group,
@@ -374,6 +487,7 @@ def prefill_packed(
         v_scale=float(v_scale),
         use_sinks=bool(use_sinks),
         use_alibi=bool(use_alibi),
+        use_custom_mask=bool(use_custom_mask),
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -384,6 +498,7 @@ def prefill_packed(
             pl.BlockSpec((1, KV_BLOCK, head_dim), kv_map),
             pl.BlockSpec((1, KV_BLOCK, head_dim), kv_map),
             pl.BlockSpec((1, ROW_BLOCK, 128), aux_map),
+            pl.BlockSpec((tq_tokens, KV_BLOCK), mask_map),
         ],
         out_specs=[
             pl.BlockSpec((1, ROW_BLOCK, head_dim), q_map),
@@ -407,7 +522,7 @@ def prefill_packed(
     )(
         item_w, item_c, item_first, item_last, work_q_blk, work_kv_blk,
         work_kv_len, work_qo_len, work_q_pos,
-        q_packed, k_packed, v_packed, aux_packed,
+        q_packed, k_packed, v_packed, aux_packed, mask_packed,
     )
     return out, lse
 
@@ -426,6 +541,7 @@ def run_prefill(
     v_scale: float = 1.0,
     sinks: jax.Array | None = None,  # [H_q]
     alibi_slopes: jax.Array | None = None,  # [H_q]
+    custom_mask: jax.Array | None = None,  # [Tq_pad, Tkv_pad] padded mask
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Pack layouts, run the kernel, unpack back to ragged.
@@ -472,17 +588,29 @@ def run_prefill(
         ).reshape(h_kv, ROW_BLOCK)
         aux = aux.at[:, :, 1].set(a_tile)
 
+    use_custom_mask = custom_mask is not None
+    if use_custom_mask:
+        if custom_mask.shape != (plan.tq_pad, plan.tkv_pad):
+            raise ValueError(
+                f"custom_mask shape {custom_mask.shape} != padded "
+                f"({plan.tq_pad}, {plan.tkv_pad})"
+            )
+        mask_packed = custom_mask.astype(jnp.float32)
+    else:
+        mask_packed = jnp.zeros((ROW_BLOCK // g, KV_BLOCK), jnp.float32)
+
     plan_arrays = (
         plan.item_w, plan.item_c, plan.item_first, plan.item_last,
         plan.work_q_blk, plan.work_kv_blk, plan.work_kv_len,
         plan.work_qo_len, plan.work_q_pos,
     )
     out_p, lse_p = prefill_packed(
-        qp, kp, vp, aux, plan_arrays,
+        qp, kp, vp, aux, mask_packed, plan_arrays,
         group=g, sm_scale=float(sm_scale), causal=causal,
         logits_soft_cap=logits_soft_cap, window_left=window_left,
         k_scale=k_scale, v_scale=v_scale,
-        use_sinks=use_sinks, use_alibi=use_alibi, interpret=interpret,
+        use_sinks=use_sinks, use_alibi=use_alibi,
+        use_custom_mask=use_custom_mask, interpret=interpret,
     )
 
     # unpack: [H_kv, Tq_pad*G, D] -> ragged [total_q, H_q, D]

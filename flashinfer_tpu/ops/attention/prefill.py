@@ -65,6 +65,7 @@ class BatchPrefillWithRaggedKVCacheWrapper:
         self._kv_layout = check_kv_layout(kv_layout)
         self._plan: PrefillPlan | None = None
         self._params: dict | None = None
+        self._custom_mask = None
         self._kv_indptr_host: np.ndarray | None = None
 
     def plan(
@@ -90,8 +91,6 @@ class BatchPrefillWithRaggedKVCacheWrapper:
     ) -> None:
         del head_dim_vo, use_fp16_qk_reduction, q_data_type, kv_data_type
         del rope_scale, rope_theta
-        if custom_mask is not None or packed_custom_mask is not None:
-            raise NotImplementedError("custom masks land in a later revision")
         if pos_encoding_mode not in ("NONE", "ALIBI"):
             raise NotImplementedError(
                 "fused rope-on-the-fly not supported; apply rope ops first"
@@ -108,6 +107,9 @@ class BatchPrefillWithRaggedKVCacheWrapper:
             logits_soft_cap, sm_scale,
         )
         self._params["use_alibi"] = pos_encoding_mode == "ALIBI"
+        self._custom_mask = _build_plan_mask(
+            self._plan, qo_h, kv_lens, custom_mask, packed_custom_mask
+        )
 
     begin_forward = plan
 
@@ -139,7 +141,8 @@ class BatchPrefillWithRaggedKVCacheWrapper:
             sm_scale=p["sm_scale"], causal=p["causal"],
             logits_soft_cap=p["logits_soft_cap"], window_left=p["window_left"],
             k_scale=float(k_scale or 1.0), v_scale=float(v_scale or 1.0),
-            sinks=sinks, alibi_slopes=alibi, interpret=interpret,
+            sinks=sinks, alibi_slopes=alibi, custom_mask=self._custom_mask,
+            interpret=interpret,
         )
         if return_lse:
             return out, lse
@@ -175,6 +178,7 @@ class BatchPrefillWithPagedKVCacheWrapper:
         self._kv_layout = check_kv_layout(kv_layout)
         self._plan: PrefillPlan | None = None
         self._params: dict | None = None
+        self._custom_mask = None
         self._page_size: int | None = None
 
     def plan(
@@ -203,8 +207,6 @@ class BatchPrefillWithPagedKVCacheWrapper:
     ) -> None:
         del head_dim_vo, use_fp16_qk_reduction, q_data_type, kv_data_type
         del rope_scale, rope_theta
-        if custom_mask is not None or packed_custom_mask is not None:
-            raise NotImplementedError("custom masks land in a later revision")
         if pos_encoding_mode not in ("NONE", "ALIBI"):
             raise NotImplementedError("apply rope ops before attention")
         qo_h = np.asarray(qo_indptr, np.int64)
@@ -230,6 +232,9 @@ class BatchPrefillWithPagedKVCacheWrapper:
             logits_soft_cap, sm_scale,
         )
         self._params["use_alibi"] = pos_encoding_mode == "ALIBI"
+        self._custom_mask = _build_plan_mask(
+            self._plan, qo_h, kv_lens, custom_mask, packed_custom_mask
+        )
 
     begin_forward = plan
 
@@ -266,7 +271,8 @@ class BatchPrefillWithPagedKVCacheWrapper:
             sm_scale=p["sm_scale"], causal=p["causal"],
             logits_soft_cap=p["logits_soft_cap"], window_left=p["window_left"],
             k_scale=float(k_scale or 1.0), v_scale=float(v_scale or 1.0),
-            sinks=sinks, alibi_slopes=alibi, interpret=interpret,
+            sinks=sinks, alibi_slopes=alibi, custom_mask=self._custom_mask,
+            interpret=interpret,
         )
         if return_lse:
             return out, lse
@@ -286,6 +292,26 @@ def _alibi_slopes(num_heads: int) -> jax.Array:
     semantics): slope_h = 2^(-8 * (h+1) / num_heads)."""
     h = jnp.arange(1, num_heads + 1, dtype=jnp.float32)
     return 2.0 ** (-8.0 * h / num_heads)
+
+
+def _build_plan_mask(plan, qo_indptr, kv_lens, custom_mask, packed_custom_mask):
+    """Normalize the reference's two custom-mask forms into the kernel's
+    padded mask (prefill.py custom_mask/packed_custom_mask contract:
+    flattened concat of per-request [q_len × kv_len] bools; packed =
+    little-endian bit-packed, quantization/packbits.py)."""
+    if custom_mask is None and packed_custom_mask is None:
+        return None
+    from .pallas_prefill import build_padded_custom_mask
+
+    if packed_custom_mask is not None:
+        total = int(np.sum((qo_indptr[1:] - qo_indptr[:-1]) * kv_lens))
+        bits = np.unpackbits(
+            np.asarray(packed_custom_mask, np.uint8), bitorder="little"
+        )[:total]
+        flat = bits.astype(np.float32)
+    else:
+        flat = np.asarray(custom_mask).reshape(-1).astype(np.float32)
+    return build_padded_custom_mask(plan, qo_indptr, kv_lens, flat)
 
 
 def single_prefill_with_kv_cache(
@@ -309,8 +335,6 @@ def single_prefill_with_kv_cache(
 ):
     """Single-request prefill attention (reference prefill.py:1174)."""
     del use_fp16_qk_reduction, rope_scale, rope_theta, backend
-    if custom_mask is not None or packed_custom_mask is not None:
-        raise NotImplementedError("custom masks land in a later revision")
     layout = check_kv_layout(kv_layout)
     if layout == KVLayout.HND:
         k = jnp.swapaxes(k, 0, 1)
@@ -326,11 +350,15 @@ def single_prefill_with_kv_cache(
     alibi = _alibi_slopes(num_qo_heads) if pos_encoding_mode == "ALIBI" else None
     if pos_encoding_mode not in ("NONE", "ALIBI"):
         raise NotImplementedError("apply rope ops before attention")
+    mask = _build_plan_mask(
+        plan, np.asarray([0, qo_len]), np.asarray([kv_len]),
+        custom_mask, packed_custom_mask,
+    )
     out, lse = run_prefill(
         q, k, v, plan,
         sm_scale=sm_scale, causal=causal,
         logits_soft_cap=float(logits_soft_cap or 0.0), window_left=window_left,
-        alibi_slopes=alibi, interpret=interpret,
+        alibi_slopes=alibi, custom_mask=mask, interpret=interpret,
     )
     if return_lse:
         return out, lse

@@ -150,6 +150,41 @@ def bench_fn(fn: Callable, *args, warmup: int = 3, iters: int = 20) -> float:
     return float(np.median(times))
 
 
+def bench_loop(step: Callable, x0, iters: int = 32, base_iters: int = 1,
+               reps: int = 3) -> float:
+    """Per-iteration device time of ``x → step(x)`` (same shape/dtype).
+
+    The loop runs INSIDE one jitted `lax.fori_loop` dispatch with a real
+    data dependency (output feeds the next input), so remote-tunnel
+    dispatch latency and readback RTT cancel out:
+    ``t_kernel = (t(iters) − t(base_iters)) / (iters − base_iters)``.
+    This is the TPU/tunnel analog of CUDA-graph timing
+    (reference flashinfer/testing/utils.py:1317).
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(x, n):
+        return jax.lax.fori_loop(0, n, lambda i, v: step(v), x)
+
+    def timed(n: int) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            out = loop(x0, n)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            _ = np.asarray(jax.numpy.ravel(leaf)[0])  # warm sync
+            t0 = time.perf_counter()
+            out = loop(x0, n)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            _ = np.asarray(jax.numpy.ravel(leaf)[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_small = timed(base_iters)
+    t_big = timed(iters)
+    return max((t_big - t_small) / (iters - base_iters), 1e-9)
+
+
 def bench_chain(fn: Callable, *args, iters: int = 32, warmup: int = 2) -> float:
     """Seconds per call, robust to async-dispatch tunnels (axon).
 

@@ -1,0 +1,134 @@
+"""Infra tests: native C++ planner parity, autotuner, CLI, api logging,
+trace dump (reference tests: tests/jit/, tests/autotuner/, tests/cli/,
+tests/trace/ styles)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flashinfer_tpu
+from flashinfer_tpu.autotuner import AutoTuner, TunableRunner, autotune, make_bucket_mapper
+from flashinfer_tpu.env import env
+from flashinfer_tpu.native import get_lib, native_prefill_plan
+from flashinfer_tpu.ops.attention.pallas_prefill import (
+    KV_BLOCK, ROW_BLOCK, build_prefill_plan,
+)
+
+
+def _python_plan(*args, **kw):
+    """Force the pure-python plan path."""
+    env.disable_native = True
+    try:
+        return build_prefill_plan(*args, **kw)
+    finally:
+        env.disable_native = False
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("paged", [False, True])
+def test_native_plan_matches_python(causal, paged):
+    if get_lib() is None:
+        pytest.skip("native planner unavailable")
+    qo = np.array([0, 5, 6, 20], np.int64)
+    kv_lens = np.array([37, 1, 260], np.int64)
+    kw = dict(causal=causal)
+    if paged:
+        ps = 16
+        pages = [np.arange(-(-int(l) // ps)) * 3 for l in kv_lens]
+        kw.update(page_table=pages, page_size=ps)
+    else:
+        kw.update(kv_row_starts=np.array([0, 37, 38], np.int64))
+    a = build_prefill_plan(qo, kv_lens, 8, 2, **kw)
+    b = _python_plan(qo, kv_lens, 8, 2, **kw)
+    for f in ("item_w", "item_c", "item_first", "item_last", "work_q_blk",
+              "work_kv_blk", "work_kv_len", "work_qo_len", "work_q_pos"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f)
+    for f in ("q_src", "q_valid", "kv_src", "kv_valid", "out_src",
+              "q_pad_starts", "kv_pad_starts"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f)
+    assert (a.total_q, a.tq_pad, a.tkv_pad, a.num_items, a.num_works) == \
+           (b.total_q, b.tq_pad, b.tkv_pad, b.num_items, b.num_works)
+
+
+def test_bucket_mapper():
+    m = make_bucket_mapper([8, 16, 64])
+    assert m(1) == 8 and m(9) == 16 and m(64) == 64 and m(100) == 64
+
+
+class _ScaleRunner(TunableRunner):
+    def __init__(self):
+        self.calls = []
+
+    def get_valid_tactics(self, inputs, profile=None):
+        return [1, 2, 3]
+
+    def forward(self, inputs, tactic=-1):
+        self.calls.append(tactic)
+        return inputs[0] * tactic
+
+
+def test_autotuner_choose_and_cache(tmp_path, monkeypatch):
+    monkeypatch.setattr(env, "cache_dir", tmp_path)
+    tuner = AutoTuner()
+    monkeypatch.setattr(AutoTuner, "_instance", tuner)
+    r = _ScaleRunner()
+    x = jnp.ones((4, 4))
+
+    # outside autotune(): first valid tactic, no profiling
+    runner, tactic = tuner.choose_one("op", [r], [x])
+    assert tactic == 1 and r.calls == []
+
+    with autotune():
+        runner, tactic = tuner.choose_one("op", [r], [x])
+    assert tactic in (1, 2, 3)
+    assert len(r.calls) >= 3  # profiled every tactic
+    assert tuner.cache_path.exists()
+
+    # a fresh tuner reloads the choice from disk without profiling
+    t2 = AutoTuner()
+    r2 = _ScaleRunner()
+    _, tactic2 = t2.choose_one("op", [r2], [x])
+    assert tactic2 == tactic and r2.calls == []
+
+
+def test_cli_show_config_and_collect_env():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cmd in (["show-config"],):
+        out = subprocess.run(
+            [sys.executable, "-m", "flashinfer_tpu"] + cmd,
+            capture_output=True, text=True, cwd=repo,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert out.returncode == 0, out.stderr
+        cfg = json.loads(out.stdout)
+        assert "version" in cfg
+
+
+def test_api_logging_and_trace(tmp_path, monkeypatch, capsys):
+    from flashinfer_tpu.api_logging import flashinfer_api
+
+    monkeypatch.setattr(env, "loglevel", 2)
+    monkeypatch.setattr(env, "trace_dump", True)
+    monkeypatch.setattr(env, "trace_dir", tmp_path)
+
+    @flashinfer_api
+    def my_op(x, alpha=2.0):
+        return x * alpha
+
+    out = my_op(jnp.ones((2, 2)), alpha=3.0)
+    assert float(out[0, 0]) == 3.0
+    cap = capsys.readouterr().out
+    assert "my_op" in cap and "alpha" in cap
+    dumps = list(tmp_path.glob("*.json"))
+    assert len(dumps) == 1
+    d = json.loads(dumps[0].read_text())
+    assert d["name"].endswith("my_op")
+    assert d["args"][0]["kind"] == "tensor"

@@ -1,0 +1,193 @@
+"""SSM / linear-attention family vs naive numpy references
+(reference tests: tests/mamba/, tests/gdn/, tests/kda/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashinfer_tpu.ops.ssm import (
+    chunk_gated_delta_rule,
+    gdn_decode,
+    recurrent_kda,
+    selective_state_update,
+)
+
+
+def _np_ssu(state, x, dt, A, B, C, D, z, dt_bias, dt_softplus, hpg):
+    """state [B,H,dim,ds]; x/dt [B,H,dim]; B/C [B,G,ds]."""
+    dtv = dt + (dt_bias if dt_bias is not None else 0)
+    if dt_softplus:
+        dtv = np.log1p(np.exp(dtv))
+    dA = np.exp(dtv[..., None] * A[None])  # [B,H,dim,ds]
+    Bg = np.repeat(B, hpg, axis=1)
+    Cg = np.repeat(C, hpg, axis=1)
+    dBx = (dtv * x)[..., None] * Bg[:, :, None, :]
+    s_new = state * dA + dBx
+    y = np.einsum("bhds,bhs->bhd", s_new, Cg)
+    if D is not None:
+        y = y + D[None] * x
+    if z is not None:
+        y = y * (z / (1 + np.exp(-z)))
+    return y, s_new
+
+
+@pytest.mark.parametrize("dt_softplus", [False, True])
+@pytest.mark.parametrize("with_z", [False, True])
+def test_selective_state_update(dt_softplus, with_z):
+    b, h, dim, ds, g = 3, 4, 8, 16, 2
+    rng = np.random.default_rng(0)
+    state = rng.standard_normal((b, h, dim, ds)).astype(np.float32)
+    x = rng.standard_normal((b, h, dim)).astype(np.float32)
+    dt = rng.standard_normal((b, h, dim)).astype(np.float32) * 0.1
+    A = -np.abs(rng.standard_normal((h, dim, ds))).astype(np.float32)
+    B = rng.standard_normal((b, g, ds)).astype(np.float32)
+    C = rng.standard_normal((b, g, ds)).astype(np.float32)
+    D = rng.standard_normal((h, dim)).astype(np.float32)
+    z = rng.standard_normal((b, h, dim)).astype(np.float32) if with_z else None
+    dt_bias = rng.standard_normal((h, dim)).astype(np.float32) * 0.1
+
+    out, new_state = selective_state_update(
+        jnp.asarray(state), jnp.asarray(x), jnp.asarray(dt), jnp.asarray(A),
+        jnp.asarray(B), jnp.asarray(C), jnp.asarray(D),
+        z=jnp.asarray(z) if with_z else None,
+        dt_bias=jnp.asarray(dt_bias), dt_softplus=dt_softplus,
+    )
+    ref_y, ref_s = _np_ssu(state, x, dt, A, B, C, D, z, dt_bias,
+                           dt_softplus, h // g)
+    np.testing.assert_allclose(np.asarray(out), ref_y, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(new_state), ref_s, rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_selective_state_update_slot_indices():
+    b, h, dim, ds, cache = 2, 2, 4, 8, 6
+    rng = np.random.default_rng(1)
+    state = rng.standard_normal((cache, h, dim, ds)).astype(np.float32)
+    x = rng.standard_normal((b, h, dim)).astype(np.float32)
+    dt = np.full((b, h, dim), 0.1, np.float32)
+    A = -np.ones((h, dim, ds), np.float32)
+    B = rng.standard_normal((b, 1, ds)).astype(np.float32)
+    C = rng.standard_normal((b, 1, ds)).astype(np.float32)
+    idx = np.array([4, -1], np.int32)  # second request padded out
+    out, new_state = selective_state_update(
+        jnp.asarray(state), jnp.asarray(x), jnp.asarray(dt), jnp.asarray(A),
+        jnp.asarray(B), jnp.asarray(C), None,
+        state_batch_indices=jnp.asarray(idx), pad_slot_id=-1,
+    )
+    ns = np.asarray(new_state)
+    assert not np.allclose(ns[4], state[4])  # slot 4 updated
+    np.testing.assert_array_equal(ns[[0, 1, 2, 3, 5]], state[[0, 1, 2, 3, 5]])
+
+
+def _np_delta_rule(q, k, v, g, beta, s0, scale, vector_gate=False):
+    b, t, h, dk = q.shape
+    dv = v.shape[-1]
+    s = s0.copy()
+    outs = np.zeros((b, t, h, dv), np.float32)
+    for i in range(t):
+        if vector_gate:
+            s = s * np.exp(g[:, i])[..., None]
+        else:
+            s = s * np.exp(g[:, i])[..., None, None]
+        pred = np.einsum("bhkv,bhk->bhv", s, k[:, i])
+        err = (v[:, i] - pred) * beta[:, i][..., None]
+        s = s + k[:, i][..., None] * err[:, :, None, :]
+        outs[:, i] = np.einsum("bhkv,bhk->bhv", s, q[:, i]) * scale
+    return outs, s
+
+
+def test_chunk_gated_delta_rule_batched():
+    b, t, h, dk, dv = 2, 10, 3, 16, 8
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((b, t, h, dk)).astype(np.float32)
+    k = rng.standard_normal((b, t, h, dk)).astype(np.float32)
+    v = rng.standard_normal((b, t, h, dv)).astype(np.float32)
+    g = -np.abs(rng.standard_normal((b, t, h))).astype(np.float32) * 0.1
+    beta = rng.uniform(0.1, 0.9, (b, t, h)).astype(np.float32)
+    scale = 1.0 / np.sqrt(dk)
+
+    out, s_final = chunk_gated_delta_rule(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(g),
+        jnp.asarray(beta), output_final_state=True,
+    )
+    ref_o, ref_s = _np_delta_rule(q, k, v, g, beta,
+                                  np.zeros((b, h, dk, dv), np.float32), scale)
+    np.testing.assert_allclose(np.asarray(out), ref_o, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(s_final), ref_s, rtol=3e-4, atol=3e-4)
+
+
+def test_chunk_gated_delta_rule_packed_varlen():
+    """Packed varlen == per-sequence independent processing."""
+    lens = [5, 3, 7]
+    h, dk, dv = 2, 8, 8
+    total = sum(lens)
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((total, h, dk)).astype(np.float32)
+    k = rng.standard_normal((total, h, dk)).astype(np.float32)
+    v = rng.standard_normal((total, h, dv)).astype(np.float32)
+    g = -np.abs(rng.standard_normal((total, h))).astype(np.float32) * 0.1
+    beta = rng.uniform(0.1, 0.9, (total, h)).astype(np.float32)
+    cu = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+
+    out = chunk_gated_delta_rule(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(g),
+        jnp.asarray(beta), cu_seqlens=jnp.asarray(cu),
+    )
+    scale = 1.0 / np.sqrt(dk)
+    for i, (s, e) in enumerate(zip(cu[:-1], cu[1:])):
+        ref_o, _ = _np_delta_rule(
+            q[None, s:e], k[None, s:e], v[None, s:e], g[None, s:e],
+            beta[None, s:e], np.zeros((1, h, dk, dv), np.float32), scale)
+        np.testing.assert_allclose(
+            np.asarray(out[s:e]), ref_o[0], rtol=3e-4, atol=3e-4,
+            err_msg=f"seq {i}")
+
+
+def test_gdn_decode_state_pool():
+    b, h, dk, dv, pool = 2, 2, 8, 8, 5
+    rng = np.random.default_rng(4)
+    state = rng.standard_normal((pool, h, dk, dv)).astype(np.float32)
+    q = rng.standard_normal((b, h, dk)).astype(np.float32)
+    k = rng.standard_normal((b, h, dk)).astype(np.float32)
+    v = rng.standard_normal((b, h, dv)).astype(np.float32)
+    g = -np.abs(rng.standard_normal((b, h))).astype(np.float32) * 0.1
+    beta = rng.uniform(0.1, 0.9, (b, h)).astype(np.float32)
+    idx = np.array([3, 0], np.int32)
+
+    out, new_state = gdn_decode(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(g),
+        jnp.asarray(beta), jnp.asarray(state),
+        state_indices=jnp.asarray(idx), use_qk_l2norm_in_kernel=False,
+    )
+    ref_o, ref_s = _np_delta_rule(
+        q[:, None], k[:, None], v[:, None], g[:, None], beta[:, None],
+        state[idx], 1.0 / np.sqrt(dk))
+    np.testing.assert_allclose(np.asarray(out), ref_o[:, 0], rtol=3e-4,
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(new_state)[idx], ref_s, rtol=3e-4,
+                               atol=3e-4)
+    np.testing.assert_array_equal(np.asarray(new_state)[[1, 2, 4]],
+                                  state[[1, 2, 4]])
+
+
+def test_recurrent_kda_vector_gate():
+    b, t, h, dk, dv = 2, 6, 2, 8, 8
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((b, t, h, dk)).astype(np.float32)
+    k = rng.standard_normal((b, t, h, dk)).astype(np.float32)
+    v = rng.standard_normal((b, t, h, dv)).astype(np.float32)
+    g = -np.abs(rng.standard_normal((b, t, h, dk))).astype(np.float32) * 0.1
+    beta = rng.uniform(0.1, 0.9, (b, t, h)).astype(np.float32)
+
+    out, s_final = recurrent_kda(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(g),
+        jnp.asarray(beta), output_final_state=True,
+        use_qk_l2norm_in_kernel=False,
+    )
+    ref_o, ref_s = _np_delta_rule(
+        q, k, v, g, beta, np.zeros((b, h, dk, dv), np.float32),
+        1.0 / np.sqrt(dk), vector_gate=True)
+    np.testing.assert_allclose(np.asarray(out), ref_o, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(s_final), ref_s, rtol=3e-4,
+                               atol=3e-4)
