@@ -115,3 +115,45 @@ from .parallel import (  # noqa: F401
     moe_ep_forward,
     ring_attention,
 )
+from .ops.gemm import (  # noqa: F401
+    SegmentGEMMWrapper,
+    bmm_bf16,
+    bmm_fp8,
+    grouped_mm_bf16,
+    grouped_mm_fp4,
+    grouped_mm_fp8,
+    grouped_mm_mxfp8,
+    mm_bf16,
+    mm_fp4,
+    mm_fp8,
+    mm_mxfp8,
+)
+from .ops.moe import (  # noqa: F401
+    cutlass_fused_moe,
+    fused_moe,
+    trtllm_bf16_moe,
+    trtllm_fp8_block_scale_moe,
+    trtllm_fp8_per_tensor_scale_moe,
+)
+from .ops.routing import RoutingMethodType, apply_routing  # noqa: F401
+from .ops.quantization import (  # noqa: F401
+    fp4_quantize,
+    fp8_quantize,
+    mxfp4_dequantize,
+    mxfp4_quantize,
+    mxfp8_dequantize,
+    mxfp8_quantize,
+    nvfp4_quantize,
+    packbits,
+    segment_packbits,
+)
+from .ops.attention.api_compat import (  # noqa: F401
+    cudnn_batch_decode_with_kv_cache,
+    fast_decode_plan,
+    fmha_varlen,
+    trtllm_batch_decode_with_kv_cache,
+    xqa,
+    xqa_batch_decode_with_kv_cache,
+)
+from .autotuner import AutoTuner, TunableRunner, autotune  # noqa: F401
+from .api_logging import flashinfer_api  # noqa: F401

@@ -375,3 +375,111 @@ def shard_params(params: dict, cfg: LlamaConfig, mesh: Mesh, *, tp: str = "tp"):
         k: jax.device_put(v, NamedSharding(mesh, specs[k]))
         for k, v in params.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism: layer-stacked weights sharded over a "pp" axis,
+# activations rotated stage→stage with ppermute (gpipe, SPMD form)
+# ---------------------------------------------------------------------------
+
+
+def make_pp_decode_fn(
+    cfg: LlamaConfig, mesh: Mesh, *, pp: str = "pp", tp: str = "tp",
+    interpret: bool | None = None,
+):
+    """Build a jitted shard_map decode step over mesh axes (pp, tp).
+
+    The layer dimension shards over pp (cfg.num_layers % pp_size == 0);
+    within a stage, attention/MLP shard over tp exactly like
+    :func:`make_sharded_decode_fn`. One microbatch flows through the
+    pp_size scan steps; every rank executes its local stage each step and
+    the activation rotates to the next stage with `lax.ppermute` — rank
+    r's compute is meaningful at step r, and cache writes are masked to
+    that step (the SPMD formulation of gpipe; the reference has no PP
+    execution engine, only the group algebra in comm/mapping.py:442 —
+    this provides the actual TPU pipeline).
+
+    Returns (fn, in_specs, out_specs); logits come out replicated.
+    """
+    pp_size, tp_size = mesh.shape[pp], mesh.shape[tp]
+    if cfg.num_layers % pp_size:
+        raise ValueError("num_layers must divide pp_size")
+    cfg_local = replace(
+        cfg,
+        num_qo_heads=cfg.num_qo_heads // tp_size,
+        num_kv_heads=cfg.num_kv_heads // tp_size,
+        intermediate_size=cfg.intermediate_size // tp_size,
+    )
+
+    def local_step(params, kv_caches, token_ids, positions, page_table, kv_lens):
+        batch = token_ids.shape[0]
+        d = cfg.head_dim
+        hq, hkv = cfg_local.num_qo_heads, cfg_local.num_kv_heads
+        my_stage = jax.lax.axis_index(pp)
+        perm = [(i, (i + 1) % pp_size) for i in range(pp_size)]
+        layer_params = {k: params[k] for k in _layer_keys(cfg)}
+
+        def run_stage(x, k_all, v_all):
+            def layer(x, xs):
+                lp, k_c, v_c = xs
+                h_in = x
+                x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
+                q = (x @ lp["wq"]).reshape(batch, hq, d)
+                k = (x @ lp["wk"]).reshape(batch, hkv, d)
+                v = (x @ lp["wv"]).reshape(batch, hkv, d)
+                q = _rope(q, positions, cfg.rope_theta)
+                k = _rope(k, positions, cfg.rope_theta)
+                k_c, v_c = _append_decode_kv(
+                    k_c, v_c, k, v, page_table, positions
+                )
+                attn, _ = paged_decode_attention(
+                    q, k_c, v_c, page_table, kv_lens, interpret=interpret
+                )
+                o = attn.reshape(batch, hq * d) @ lp["wo"]
+                x = h_in + jax.lax.psum(o, tp)
+                h_in = x
+                x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
+                y = _mlp(cfg_local, lp, x).astype(x.dtype)
+                x = h_in + jax.lax.psum(y, tp)
+                return x, (k_c, v_c)
+
+            return jax.lax.scan(layer, x, (layer_params, k_all, v_all))
+
+        x0 = params["embed"][token_ids].astype(cfg.dtype)
+        k_all, v_all = kv_caches
+
+        def pp_step(carry, step_idx):
+            x, k_all, v_all = carry
+            y, (k_new, v_new) = run_stage(x, k_all, v_all)
+            active = step_idx == my_stage  # this rank's turn in the pipe
+            k_all = jnp.where(active, k_new, k_all)
+            v_all = jnp.where(active, v_new, v_all)
+            y = jax.lax.ppermute(y, pp, perm)
+            return (y, k_all, v_all), None
+
+        (x, k_all, v_all), _ = jax.lax.scan(
+            pp_step, (x0, k_all, v_all), jnp.arange(pp_size), length=pp_size
+        )
+        # after pp_size rotations the fully-processed activation is back on
+        # stage 0 — broadcast it to all ranks
+        x = jax.lax.psum(
+            jnp.where(my_stage == 0, x, jnp.zeros_like(x)), pp
+        )
+        x = rmsnorm(x, params["final_norm"], eps=cfg.rms_eps)
+        logits_loc = (x @ params["lm_head"]).astype(jnp.float32)
+        logits = jax.lax.all_gather(logits_loc, tp, axis=1, tiled=True)
+        return logits, (k_all, v_all)
+
+    # per-layer params shard their leading (layer) dim over pp
+    pspecs = {}
+    for k, base in param_specs(cfg, tp=tp).items():
+        if k in ("embed", "final_norm", "lm_head"):
+            pspecs[k] = base
+        else:
+            pspecs[k] = P(pp, *tuple(base)[1:])
+    cache_spec = P(pp, None, None, tp, None)
+    in_specs = (pspecs, (cache_spec, cache_spec), P(), P(), P(None, None), P())
+    out_specs = (P(None, None), (cache_spec, cache_spec))
+    fn = shard_map(local_step, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
+    return jax.jit(fn), in_specs, out_specs

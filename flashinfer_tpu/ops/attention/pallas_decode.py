@@ -148,6 +148,283 @@ def _decode_kernel(
         lse_ref[0, 0] = lse[:, 0].astype(lse_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# v2 kernel: grid (batch, kv_head); pages stream HBM→VMEM via manual
+# double-buffered DMA (the BlockSpec-per-page v1 spends a grid step per
+# page — thousands of tiny steps whose fixed overhead dominates at scale;
+# v1 is kept below as paged_decode_attention_blockspec for small grids
+# and as a reference implementation).
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel_v2(
+    # scalar prefetch
+    page_table_ref,  # [B, max_pages] i32 (SMEM)
+    kv_lens_ref,  # [B] i32 (SMEM)
+    # inputs
+    q_ref,  # [1, Hkv*G8, D] VMEM (rows grouped per kv head)
+    k_hbm_ref,  # [pages, ps, Hkv*D] ANY (HBM)
+    v_hbm_ref,
+    sinks_ref,  # [Hkv*G8, 128] VMEM (-inf when unused)
+    # outputs
+    o_ref,  # [1, Hkv*G8, D]
+    lse_ref,  # [1, Hkv*G8, 128]
+    # scratch
+    k_buf,  # [2, CP, ps, Hkv*D] VMEM (kv dtype)
+    v_buf,
+    sem,  # DMA semaphores [2, CP, 2]
+    *,
+    num_kv_heads: int,
+    head_dim: int,
+    page_size: int,
+    chunk_pages: int,
+    g8: int,
+    sm_scale: float,
+    logits_soft_cap: float,
+    window_left: int,
+    k_scale: float,
+    v_scale: float,
+    use_sinks: bool,
+):
+    b = pl.program_id(0)
+    kv_len = kv_lens_ref[b]
+    max_pages = page_table_ref.shape[1]
+    num_chunks = max_pages // chunk_pages
+    d = head_dim
+    rows = num_kv_heads * g8
+    chunk_tokens = chunk_pages * page_size
+
+    def issue(chunk, slot):
+        for j in range(chunk_pages):  # static unroll: one copy per page
+            page = page_table_ref[b, chunk * chunk_pages + j]
+            pltpu.make_async_copy(
+                k_hbm_ref.at[page], k_buf.at[slot, j], sem.at[slot, j, 0]
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm_ref.at[page], v_buf.at[slot, j], sem.at[slot, j, 1]
+            ).start()
+
+    def wait(slot):
+        for j in range(chunk_pages):
+            pltpu.make_async_copy(
+                k_hbm_ref.at[0], k_buf.at[slot, j], sem.at[slot, j, 0]
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm_ref.at[0], v_buf.at[slot, j], sem.at[slot, j, 1]
+            ).wait()
+
+    def chunk_valid(chunk):
+        return chunk * chunk_tokens < kv_len
+
+    issue(0, 0)
+    q = q_ref[0].astype(jnp.float32) * sm_scale  # [rows, D]
+
+    def body(chunk, carry):
+        m_prev, l_prev, acc = carry  # [rows,1],[rows,1],[rows,D]
+        slot = jax.lax.rem(chunk, 2)
+
+        @pl.when(jnp.logical_and(chunk + 1 < num_chunks,
+                                 chunk_valid(chunk + 1)))
+        def _prefetch():
+            issue(chunk + 1, 1 - slot)
+
+        wait(slot)
+        k = k_buf[slot].reshape(chunk_tokens, num_kv_heads * d)
+        v = v_buf[slot].reshape(chunk_tokens, num_kv_heads * d)
+        if k.dtype != jnp.float32:
+            k = k.astype(jnp.float32)
+            v = v.astype(jnp.float32)
+        if k_scale != 1.0:
+            k = k * k_scale
+        if v_scale != 1.0:
+            v = v * v_scale
+
+        pos = chunk * chunk_tokens + jax.lax.broadcasted_iota(
+            jnp.int32, (g8, chunk_tokens), 1
+        )
+        mask = pos < kv_len
+        if window_left >= 0:
+            mask = jnp.logical_and(mask, pos >= kv_len - (window_left + 1))
+
+        s_parts, l_parts, m_parts, pv_parts = [], [], [], []
+        for h in range(num_kv_heads):  # static unroll over kv heads
+            qh = q[h * g8:(h + 1) * g8]  # [G8, D]
+            kh = k[:, h * d:(h + 1) * d]  # [ct, D] lane slice
+            vh = v[:, h * d:(h + 1) * d]
+            s = jax.lax.dot_general(
+                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G8, ct]
+            if logits_soft_cap > 0.0:
+                s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            m_cur = jnp.max(s, axis=1, keepdims=True)  # [G8,1]
+            m_hprev = m_prev[h * g8:(h + 1) * g8]
+            m_new = jnp.maximum(m_hprev, m_cur)
+            p = jnp.exp(s - m_new)
+            p = jnp.where(mask, p, 0.0)
+            l_cur = jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p, vh, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G8, D]
+            m_parts.append(m_new)
+            l_parts.append(l_cur)
+            pv_parts.append(pv)
+        m_new = jnp.concatenate(m_parts, axis=0)  # [rows,1]
+        l_cur = jnp.concatenate(l_parts, axis=0)
+        pv = jnp.concatenate(pv_parts, axis=0)  # [rows,D]
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + l_cur
+        acc = acc * alpha + pv
+        return m_new, l_new, acc
+
+    def guarded(chunk, carry):
+        return jax.lax.cond(
+            chunk_valid(chunk), lambda c: body(chunk, c), lambda c: c, carry
+        )
+
+    m0 = jnp.full((rows, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((rows, 1), jnp.float32)
+    acc0 = jnp.zeros((rows, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_chunks, guarded, (m0, l0, acc0))
+
+    if use_sinks:
+        sink = sinks_ref[:, :1]  # [rows, 1]
+        m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+        l = l + jnp.exp(sink - m_safe)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
+    lse_ref[0] = jnp.broadcast_to(lse, (rows, 128)).astype(lse_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "logits_soft_cap", "window_left", "k_scale", "v_scale",
+        "interpret", "kernel_impl",
+    ),
+)
+def paged_decode_attention(
+    q: jax.Array,  # [B, H_q, D]
+    k_cache: jax.Array,  # [pages, page_size, H_kv, D]  (NHD)
+    v_cache: jax.Array,
+    page_table: jax.Array,  # [B, max_pages] i32, padded with 0
+    kv_lens: jax.Array,  # [B] i32
+    *,
+    sm_scale: float | None = None,
+    logits_soft_cap: float = 0.0,
+    window_left: int = -1,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+    sinks: jax.Array | None = None,  # [H_q]
+    interpret: bool | None = None,
+    kernel_impl: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Batched paged-KV decode attention.
+
+    Two implementations: the streaming kernel (grid (batch,), manual
+    double-buffered page DMAs — the production TPU path) and the
+    blockspec kernel (grid (batch, page) — much faster under the Pallas
+    interpreter, so it serves CPU CI). ``kernel_impl`` in
+    {"auto", "streaming", "blockspec"}; auto = streaming on TPU,
+    blockspec under the interpreter.
+
+    Returns ``(out [B, H_q, D], lse [B, H_q])``, natural-log lse.
+    """
+    interp = resolve_interpret(interpret)
+    if kernel_impl == "auto":
+        kernel_impl = "blockspec" if interp else "streaming"
+    if kernel_impl == "blockspec":
+        return paged_decode_attention_blockspec(
+            q, k_cache, v_cache, page_table, kv_lens,
+            sm_scale=sm_scale, logits_soft_cap=logits_soft_cap,
+            window_left=window_left, k_scale=k_scale, v_scale=v_scale,
+            sinks=sinks, interpret=interpret,
+        )
+    batch, num_q_heads, head_dim = q.shape
+    num_pages, page_size, num_kv_heads, _ = k_cache.shape
+    group = num_q_heads // num_kv_heads
+    g8 = max(8, ((group + 7) // 8) * 8)
+    rows = num_kv_heads * g8
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+
+    chunk_pages = max(1, 512 // page_size)
+    max_pages = page_table.shape[1]
+    pad_pages = (-max_pages) % chunk_pages
+    if pad_pages:
+        page_table = jnp.pad(page_table, ((0, 0), (0, pad_pages)))
+        max_pages += pad_pages
+    chunk_pages = min(chunk_pages, max_pages)
+
+    # rows grouped per kv head: [B, Hkv, G8, D] -> [B, Hkv*G8, D]
+    q4 = q.reshape(batch, num_kv_heads, group, head_dim)
+    if g8 != group:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, g8 - group), (0, 0)))
+    q3 = q4.reshape(batch, rows, head_dim)
+
+    k2 = k_cache.reshape(num_pages, page_size, num_kv_heads * head_dim)
+    v2 = v_cache.reshape(num_pages, page_size, num_kv_heads * head_dim)
+
+    use_sinks = sinks is not None
+    if use_sinks:
+        s3 = sinks.astype(jnp.float32).reshape(num_kv_heads, group)
+        s3 = jnp.pad(s3, ((0, 0), (0, g8 - group)), constant_values=-jnp.inf)
+        sinks_arr = jnp.broadcast_to(s3.reshape(rows, 1), (rows, 128))
+    else:
+        sinks_arr = jnp.full((rows, 128), -jnp.inf, jnp.float32)
+
+    kernel = functools.partial(
+        _decode_kernel_v2,
+        num_kv_heads=num_kv_heads, head_dim=head_dim, page_size=page_size,
+        chunk_pages=chunk_pages, g8=g8,
+        sm_scale=float(sm_scale), logits_soft_cap=float(logits_soft_cap),
+        window_left=int(window_left), k_scale=float(k_scale),
+        v_scale=float(v_scale), use_sinks=use_sinks,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, rows, head_dim), lambda b, pt, kl: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((rows, 128), lambda b, pt, kl: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, head_dim), lambda b, pt, kl: (b, 0, 0)),
+            pl.BlockSpec((1, rows, 128), lambda b, pt, kl: (b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(
+                (2, chunk_pages, page_size, num_kv_heads * head_dim),
+                k_cache.dtype,
+            ),
+            pltpu.VMEM(
+                (2, chunk_pages, page_size, num_kv_heads * head_dim),
+                v_cache.dtype,
+            ),
+            pltpu.SemaphoreType.DMA((2, chunk_pages, 2)),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, rows, head_dim), q.dtype),
+            jax.ShapeDtypeStruct((batch, rows, 128), jnp.float32),
+        ],
+        interpret=resolve_interpret(interpret),
+    )(page_table, kv_lens, q3, k2, v2, sinks_arr)
+    out = out.reshape(batch, num_kv_heads, g8, head_dim)[:, :, :group]
+    out = out.reshape(batch, num_q_heads, head_dim)
+    lse_out = lse[:, :, 0].reshape(batch, num_kv_heads, g8)[:, :, :group]
+    lse_out = lse_out.reshape(batch, num_q_heads)
+    return out, lse_out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -159,7 +436,7 @@ def _decode_kernel(
         "interpret",
     ),
 )
-def paged_decode_attention(
+def paged_decode_attention_blockspec(
     q: jax.Array,  # [B, H_q, D]
     k_cache: jax.Array,  # [pages, page_size, H_kv, D]  (NHD)
     v_cache: jax.Array,

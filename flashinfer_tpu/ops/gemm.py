@@ -145,6 +145,78 @@ def grouped_mm_fp8(
     ).astype(out_dtype)
 
 
+def grouped_mm_mxfp8(
+    x: jax.Array,  # [T, K] mxfp8 (e4m3) or bf16
+    x_scale: jax.Array,  # [T, K//32] e8m0-style power-of-two scales (f32 here)
+    weights: jax.Array,  # [G, K, N] fp8
+    w_scale: jax.Array,  # [G, K//32, N]
+    group_sizes: jax.Array,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """MXFP8 (32-element block scaled) grouped GEMM (reference
+    grouped_mm/core.py:348)."""
+    k = x.shape[-1]
+    g, _, n = weights.shape
+    xf = x.astype(jnp.float32).reshape(-1, k // 32, 32)
+    xdq = (xf * jnp.asarray(x_scale, jnp.float32)[..., None]).reshape(-1, k)
+    wf = weights.astype(jnp.float32).reshape(g, k // 32, 32, n)
+    wdq = (wf * jnp.asarray(w_scale, jnp.float32)[:, :, None, :]).reshape(g, k, n)
+    return jax.lax.ragged_dot(
+        xdq.astype(jnp.bfloat16), wdq.astype(jnp.bfloat16),
+        group_sizes.astype(jnp.int32), preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
+def grouped_mm_fp4(
+    x: jax.Array,  # [T, K] bf16 activations
+    weights_packed: jax.Array,  # [G, K, N//2] uint8 packed e2m1
+    w_scale: jax.Array,  # [G, K//sf_block, N]
+    group_sizes: jax.Array,
+    sf_block: int = 16,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """FP4-weight grouped GEMM (reference grouped_mm/core.py:508;
+    group_gemm_mxfp4_groupwise_*). v1: dequant-to-bf16 + ragged_dot (the
+    dequant is a gather-free elementwise XLA fuses into the weight read)."""
+    from .gemm_pallas import e2m1_decode
+
+    g, k, n_half = weights_packed.shape
+    n = n_half * 2
+    lo = e2m1_decode(weights_packed & 0xF)
+    hi = e2m1_decode(weights_packed >> 4)
+    w = jnp.stack([lo, hi], axis=-1).reshape(g, k, n)
+    w = w.reshape(g, k // sf_block, sf_block, n) * jnp.asarray(
+        w_scale, jnp.float32
+    )[:, :, None, :]
+    w = w.reshape(g, k, n).astype(jnp.bfloat16)
+    return jax.lax.ragged_dot(
+        x.astype(jnp.bfloat16), w, group_sizes.astype(jnp.int32),
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
+def mm_mxfp8(
+    a: jax.Array,  # [M, K] fp8
+    b: jax.Array,  # [K, N] fp8
+    a_scale: jax.Array,  # [M, K//32]
+    b_scale: jax.Array,  # [K//32, N]
+    out_dtype=jnp.bfloat16,
+    backend: str = "auto",
+    **_ignored,
+) -> jax.Array:
+    """MXFP8 GEMM (reference gemm_base.py:5380)."""
+    del backend
+    k = a.shape[-1]
+    af = a.astype(jnp.float32).reshape(-1, k // 32, 32)
+    adq = (af * jnp.asarray(a_scale, jnp.float32)[..., None]).reshape(-1, k)
+    bf = b.astype(jnp.float32).reshape(k // 32, 32, -1)
+    bdq = (bf * jnp.asarray(b_scale, jnp.float32)[:, None, :]).reshape(k, -1)
+    return jnp.dot(
+        adq.astype(jnp.bfloat16), bdq.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
 class SegmentGEMMWrapper:
     """Segment GEMM for LoRA / per-request experts (reference
     flashinfer SegmentGEMMWrapper, gemm/__init__.py:110).

@@ -137,6 +137,41 @@ def test_sharded_decode_matches_single_chip(tiny_model):
     )
 
 
+def test_pp_decode_matches_single_chip(tiny_model):
+    cfg, params = tiny_model  # 2 layers → pp=2, 1 layer per stage
+    from flashinfer_tpu.models.llama import make_pp_decode_fn
+    from jax.sharding import NamedSharding
+
+    mesh = make_mesh(pp=2, tp=4, axis_order=("pp", "tp"))
+    batch, page_size, pages_per_req = 2, 16, 2
+    num_pages = batch * pages_per_req
+    caches = init_kv_cache(cfg, num_pages, page_size)
+    table = np.arange(num_pages, dtype=np.int32).reshape(batch, pages_per_req)
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, batch), jnp.int32)
+    positions = jnp.zeros(batch, jnp.int32)
+    kv_lens = jnp.ones(batch, jnp.int32)
+
+    ref_logits, ref_caches = decode_step(
+        params, cfg, caches, tokens, positions, jnp.asarray(table), kv_lens
+    )
+
+    fn, in_specs, _ = make_pp_decode_fn(cfg, mesh)
+    sp = {k: jax.device_put(v, NamedSharding(mesh, in_specs[0][k]))
+          for k, v in params.items()}
+    cache_sh = NamedSharding(mesh, in_specs[1][0])
+    caches_s = tuple(jax.device_put(c, cache_sh) for c in caches)
+    out, out_caches = fn(sp, caches_s, tokens, positions,
+                         jnp.asarray(table), kv_lens)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_logits), rtol=3e-2, atol=3e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_caches[0]).astype(np.float32),
+        np.asarray(ref_caches[0]).astype(np.float32), rtol=1e-2, atol=1e-2,
+    )
+
+
 def test_prefill_runs(tiny_model):
     cfg, params = tiny_model
     qo_indptr = np.array([0, 5, 12], np.int64)

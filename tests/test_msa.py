@@ -1,0 +1,115 @@
+"""MSA pipeline tests vs dense references (reference tests/msa_ops/ style)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashinfer_tpu.ops.msa import (
+    MSA_BLOCK,
+    msa_proxy_score,
+    msa_sparse_attention,
+    msa_sparse_decode_attention,
+    msa_topk_select,
+)
+
+
+def test_proxy_score_matches_blocked_max():
+    rng = np.random.default_rng(0)
+    lens = [200, 130]
+    total = sum(lens)
+    hq, hkv, d = 4, 2, 128
+    q = rng.standard_normal((total, hq, d)).astype(np.float32)
+    k = rng.standard_normal((total, hkv, d)).astype(np.float32)
+    cu = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+
+    out = np.asarray(msa_proxy_score(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(cu), causal=True))
+    g = hq // hkv
+    for b, (s0, s1) in enumerate(zip(cu[:-1], cu[1:])):
+        klen = s1 - s0
+        n_tiles = -(-klen // MSA_BLOCK)
+        sc = np.einsum("qhd,khd->hqk",
+                       q[s0:s1].reshape(-1, hkv, g, d).reshape(s1 - s0, hq, d),
+                       np.repeat(k[s0:s1], g, axis=1))
+        mask = np.arange(s1 - s0)[:, None] >= np.arange(klen)[None, :]
+        sc = np.where(mask[None], sc, -np.inf)
+        for t in range(n_tiles):
+            blk = sc[:, :, t * MSA_BLOCK:(t + 1) * MSA_BLOCK]
+            ref = blk.max(-1) if blk.size else None
+            np.testing.assert_allclose(
+                out[:, t, s0:s1], ref, rtol=1e-5, atol=1e-5)
+
+
+def test_topk_select_force_blocks():
+    h, tiles, tq, topk = 1, 10, 2, 4
+    rng = np.random.default_rng(1)
+    scores = rng.standard_normal((h, tiles, tq)).astype(np.float32)
+    idx = np.asarray(msa_topk_select(
+        jnp.asarray(scores), topk, num_valid_pages=8,
+        force_begin_blocks=1, force_end_blocks=1))
+    assert idx.shape == (h, tq, topk)
+    for t in range(tq):
+        sel = idx[0, t]
+        assert 0 in sel  # forced first block
+        assert 7 in sel  # forced last valid block
+        assert (sel < 8).all() and (sel >= 0).all()
+        assert (np.sort(sel) == sel).all()
+
+
+def test_sparse_attention_full_topk_equals_dense():
+    """With topk covering all blocks, sparse == dense causal attention."""
+    rng = np.random.default_rng(2)
+    lens = [150]
+    total = sum(lens)
+    hq, hkv, d = 2, 1, 64
+    q = rng.standard_normal((total, hq, d)).astype(np.float32)
+    k = rng.standard_normal((total, hkv, d)).astype(np.float32)
+    v = rng.standard_normal((total, hkv, d)).astype(np.float32)
+    cu = np.array([0, total], np.int32)
+
+    n_tiles = -(-total // MSA_BLOCK)
+    proxy_q = np.pad(q, ((0, 0), (0, 0), (0, 128 - d)))
+    proxy_k = np.pad(k, ((0, 0), (0, 0), (0, 128 - d)))
+    score = msa_proxy_score(jnp.asarray(proxy_q), jnp.asarray(proxy_k),
+                            jnp.asarray(cu), causal=True)
+    idx = msa_topk_select(score, n_tiles)
+    out = np.asarray(msa_sparse_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), idx,
+        jnp.asarray(cu), causal=True))
+
+    # dense reference
+    sm = 1.0 / np.sqrt(d)
+    for h in range(hq):
+        s = (q[:, h] * sm) @ k[:, 0].T
+        s = np.where(np.tril(np.ones((total, total), bool)), s, -np.inf)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        np.testing.assert_allclose(out[:, h], p @ v[:, 0], rtol=2e-3,
+                                   atol=2e-3)
+
+
+def test_sparse_decode():
+    rng = np.random.default_rng(3)
+    b, hq, hkv, d = 2, 2, 1, 64
+    lens = np.array([140, 260], np.int32)
+    starts = np.array([0, 140], np.int32)
+    total_k = int(lens.sum())
+    q = rng.standard_normal((b, hq, d)).astype(np.float32)
+    k = rng.standard_normal((total_k, hkv, d)).astype(np.float32)
+    v = rng.standard_normal((total_k, hkv, d)).astype(np.float32)
+    max_tiles = 3
+    idx = np.full((hkv, b, max_tiles), -1, np.int32)
+    idx[0, 0, :2] = [0, 1]
+    idx[0, 1, :3] = [0, 1, 2]
+    out = np.asarray(msa_sparse_decode_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(idx),
+        starts, lens))
+    sm = 1.0 / np.sqrt(d)
+    for i in range(b):
+        rows = np.arange(starts[i], starts[i] + lens[i])
+        for h in range(hq):
+            s = (q[i, h] * sm) @ k[rows, 0].T
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            np.testing.assert_allclose(out[i, h], p @ v[rows, 0],
+                                       rtol=2e-3, atol=2e-3)
