@@ -63,7 +63,7 @@ def main() -> None:
     )
     kv_lens = jnp.full((batch,), kv_len, jnp.int32)
 
-    def step(q_cur):
+    def step(q_cur, k_cache, v_cache, page_table, kv_lens):
         o, _ = paged_decode_attention(
             q_cur, k_cache, v_cache, page_table, kv_lens
         )
@@ -71,7 +71,7 @@ def main() -> None:
 
     from flashinfer_tpu.testing.utils import bench_loop
 
-    dt = bench_loop(step, q, iters=32)
+    dt = bench_loop(step, q, k_cache, v_cache, page_table, kv_lens, iters=32)
 
     itemsize = jnp.dtype(dtype).itemsize
     kv_bytes = 2 * batch * kv_len * num_kv_heads * head_dim * itemsize

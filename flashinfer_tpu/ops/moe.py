@@ -218,6 +218,66 @@ def trtllm_fp8_per_tensor_scale_moe(
     )
 
 
+def trtllm_fp4_block_scale_moe(
+    routing_logits: jax.Array,
+    routing_bias: jax.Array | None,
+    hidden_states: jax.Array,  # bf16 [T, H] (fp4-quantized activations are
+    #                            dequantized by the caller in v1)
+    hidden_states_scale: jax.Array | None,
+    gemm1_weights: jax.Array,  # [E, 2I, H//2] uint8 packed e2m1
+    gemm1_weights_scale: jax.Array,  # [E, 2I, H//16] block scales
+    gemm2_weights: jax.Array,  # [E, H, I//2] uint8 packed e2m1
+    gemm2_weights_scale: jax.Array,  # [E, H, I//16]
+    output1_scale_scalar: jax.Array | None,
+    output1_scale_gate_scalar: jax.Array | None,
+    output2_scale_scalar: jax.Array | None,
+    num_experts: int,
+    top_k: int,
+    n_group: int | None = None,
+    topk_group: int | None = None,
+    intermediate_size: int | None = None,
+    local_expert_offset: int = 0,
+    local_num_experts: int | None = None,
+    routed_scaling_factor: float | None = None,
+    routing_method_type: int = RoutingMethodType.DeepSeekV3,
+    **_ignored,
+) -> jax.Array:
+    """NVFP4 block-scaled routed MoE (reference fused_moe/core.py:4476).
+
+    v1: e2m1 weights are block-dequantized to bf16 feeding the grouped
+    GEMM (TPU has no fp4 unit — SURVEY §7 'FP4 on TPU'); per-expert output
+    scalars fold into the expert outputs.
+    """
+    from .gemm_pallas import e2m1_decode
+
+    ids, w = apply_routing(
+        RoutingMethodType(routing_method_type), routing_logits, top_k,
+        bias=routing_bias, n_group=n_group or 8, topk_group=topk_group or 4,
+        routed_scaling_factor=routed_scaling_factor or 2.5,
+    )
+    del hidden_states_scale  # activations arrive dequantized in v1
+
+    def dq(packed, scale, sf_block=16):
+        e, r, c_half = packed.shape
+        c = c_half * 2
+        lo = e2m1_decode(packed & 0xF)
+        hi = e2m1_decode(packed >> 4)
+        vals = jnp.stack([lo, hi], axis=-1).reshape(e, r, c)
+        s = scale.astype(jnp.float32)
+        vals = vals.reshape(e, r, c // sf_block, sf_block) * s[..., None]
+        return vals.reshape(e, r, c).astype(jnp.bfloat16)
+
+    w13 = jnp.swapaxes(dq(gemm1_weights, gemm1_weights_scale), 1, 2)
+    w2 = jnp.swapaxes(dq(gemm2_weights, gemm2_weights_scale), 1, 2)
+    if output1_scale_scalar is not None:
+        w13 = w13 * output1_scale_scalar.reshape(-1, 1, 1).astype(w13.dtype)
+    if output2_scale_scalar is not None:
+        w2 = w2 * output2_scale_scalar.reshape(-1, 1, 1).astype(w2.dtype)
+    return fused_moe(
+        hidden_states, w13, w2, ids, w, out_dtype=hidden_states.dtype,
+    )
+
+
 def trtllm_fp8_block_scale_moe(
     routing_logits: jax.Array,
     routing_bias: jax.Array | None,

@@ -20,3 +20,4 @@ from .ulysses import UlyssesCommunicator, gather_heads, scatter_heads  # noqa: F
 from .ring import ring_attention  # noqa: F401
 from .ep import ep_combine, ep_dispatch, moe_ep_forward  # noqa: F401
 from .dcp import dcp_decode_attention, dcp_merge  # noqa: F401
+from .parallel_attention import ParallelAttention, ParallelConfig  # noqa: F401

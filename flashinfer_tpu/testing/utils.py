@@ -150,9 +150,9 @@ def bench_fn(fn: Callable, *args, warmup: int = 3, iters: int = 20) -> float:
     return float(np.median(times))
 
 
-def bench_loop(step: Callable, x0, iters: int = 32, base_iters: int = 1,
-               reps: int = 3) -> float:
-    """Per-iteration device time of ``x → step(x)`` (same shape/dtype).
+def bench_loop(step: Callable, x0, *consts, iters: int = 32,
+               base_iters: int = 1, reps: int = 3) -> float:
+    """Per-iteration device time of ``x → step(x, *consts)``.
 
     The loop runs INSIDE one jitted `lax.fori_loop` dispatch with a real
     data dependency (output feeds the next input), so remote-tunnel
@@ -160,21 +160,26 @@ def bench_loop(step: Callable, x0, iters: int = 32, base_iters: int = 1,
     ``t_kernel = (t(iters) − t(base_iters)) / (iters − base_iters)``.
     This is the TPU/tunnel analog of CUDA-graph timing
     (reference flashinfer/testing/utils.py:1317).
+
+    IMPORTANT: all large arrays must be passed via ``consts`` (explicit jit
+    arguments), never closed over — closure constants are embedded in the
+    HLO and shipped to the remote compiler (the axon tunnel rejects big
+    compile payloads with HTTP 413).
     """
     import functools
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(x, n):
-        return jax.lax.fori_loop(0, n, lambda i, v: step(v), x)
+    def loop(x, n, *cs):
+        return jax.lax.fori_loop(0, n, lambda i, v: step(v, *cs), x)
 
     def timed(n: int) -> float:
         best = float("inf")
         for _ in range(reps):
-            out = loop(x0, n)
+            out = loop(x0, n, *consts)
             leaf = jax.tree_util.tree_leaves(out)[0]
             _ = np.asarray(jax.numpy.ravel(leaf)[0])  # warm sync
             t0 = time.perf_counter()
-            out = loop(x0, n)
+            out = loop(x0, n, *consts)
             leaf = jax.tree_util.tree_leaves(out)[0]
             _ = np.asarray(jax.numpy.ravel(leaf)[0])
             best = min(best, time.perf_counter() - t0)
