@@ -67,6 +67,10 @@ def flashinfer_api(fn=None, *, trace: Any = None):
                 from .fi_trace import dump_trace
 
                 dump_trace(f.__qualname__, args, kwargs)
+            from . import trace_apply
+
+            if trace_apply.is_enabled():
+                return trace_apply.dispatch(f.__qualname__, f, args, kwargs)
             return f(*args, **kwargs)
 
         return wrapper

@@ -169,10 +169,13 @@ def _decode_kernel_v2(
     # outputs
     o_ref,  # [1, Hkv*G8, D]
     lse_ref,  # [1, Hkv*G8, 128]
-    # scratch
-    k_buf,  # [2, CP, ps, Hkv*D] VMEM (kv dtype)
+    # scratch (3 slots: 0/1 alternate for chunks >= 1, slot 2 is chunk 0 —
+    # filled by the PREVIOUS grid step's cross-request prefetch, so the
+    # first chunk's DMA latency is hidden under the previous request's
+    # compute)
+    k_buf,  # [3, CP, ps, Hkv*D] VMEM (kv dtype)
     v_buf,
-    sem,  # DMA semaphores [2, CP, 2]
+    sem,  # DMA semaphores [3, CP, 2]
     *,
     num_kv_heads: int,
     head_dim: int,
@@ -187,6 +190,7 @@ def _decode_kernel_v2(
     use_sinks: bool,
 ):
     b = pl.program_id(0)
+    num_b = pl.num_programs(0)
     kv_len = kv_lens_ref[b]
     max_pages = page_table_ref.shape[1]
     num_chunks = max_pages // chunk_pages
@@ -194,9 +198,13 @@ def _decode_kernel_v2(
     rows = num_kv_heads * g8
     chunk_tokens = chunk_pages * page_size
 
-    def issue(chunk, slot):
+    def slot_of(chunk):
+        # chunk 0 → slot 2; odd → 1; even>0 → 0
+        return jnp.where(chunk == 0, 2, jax.lax.rem(chunk, 2))
+
+    def issue(breq, chunk, slot):
         for j in range(chunk_pages):  # static unroll: one copy per page
-            page = page_table_ref[b, chunk * chunk_pages + j]
+            page = page_table_ref[breq, chunk * chunk_pages + j]
             pltpu.make_async_copy(
                 k_hbm_ref.at[page], k_buf.at[slot, j], sem.at[slot, j, 0]
             ).start()
@@ -213,20 +221,26 @@ def _decode_kernel_v2(
                 v_hbm_ref.at[0], v_buf.at[slot, j], sem.at[slot, j, 1]
             ).wait()
 
-    def chunk_valid(chunk):
-        return chunk * chunk_tokens < kv_len
+    # chunks actually processed (>=1 so the cross-step prefetch invariant
+    # holds even for empty requests)
+    valid_chunks = jnp.maximum(
+        jax.lax.div(kv_len + chunk_tokens - 1, chunk_tokens), 1
+    )
+    valid_chunks = jnp.minimum(valid_chunks, num_chunks)
 
-    issue(0, 0)
+    @pl.when(b == 0)
+    def _bootstrap():
+        issue(0, 0, 2)
+
     q = q_ref[0].astype(jnp.float32) * sm_scale  # [rows, D]
 
     def body(chunk, carry):
         m_prev, l_prev, acc = carry  # [rows,1],[rows,1],[rows,D]
-        slot = jax.lax.rem(chunk, 2)
+        slot = slot_of(chunk)
 
-        @pl.when(jnp.logical_and(chunk + 1 < num_chunks,
-                                 chunk_valid(chunk + 1)))
+        @pl.when(chunk + 1 < valid_chunks)
         def _prefetch():
-            issue(chunk + 1, 1 - slot)
+            issue(b, chunk + 1, slot_of(chunk + 1))
 
         wait(slot)
         k = k_buf[slot].reshape(chunk_tokens, num_kv_heads * d)
@@ -246,7 +260,7 @@ def _decode_kernel_v2(
         if window_left >= 0:
             mask = jnp.logical_and(mask, pos >= kv_len - (window_left + 1))
 
-        s_parts, l_parts, m_parts, pv_parts = [], [], [], []
+        m_parts, l_parts, pv_parts = [], [], []
         for h in range(num_kv_heads):  # static unroll over kv heads
             qh = q[h * g8:(h + 1) * g8]  # [G8, D]
             kh = k[:, h * d:(h + 1) * d]  # [ct, D] lane slice
@@ -277,23 +291,27 @@ def _decode_kernel_v2(
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + l_cur
         acc = acc * alpha + pv
-        return m_new, l_new, acc
 
-    def guarded(chunk, carry):
-        return jax.lax.cond(
-            chunk_valid(chunk), lambda c: body(chunk, c), lambda c: c, carry
-        )
+        # cross-request prefetch: while finishing this request's last chunk,
+        # start the NEXT request's chunk 0 into slot 2 (read long ago)
+        @pl.when(jnp.logical_and(chunk + 1 >= valid_chunks, b + 1 < num_b))
+        def _cross_prefetch():
+            issue(b + 1, 0, 2)
+
+        return m_new, l_new, acc
 
     m0 = jnp.full((rows, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((rows, 1), jnp.float32)
     acc0 = jnp.zeros((rows, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_chunks, guarded, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, valid_chunks, body, (m0, l0, acc0))
 
     if use_sinks:
         sink = sinks_ref[:, :1]  # [rows, 1]
         m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
         l = l + jnp.exp(sink - m_safe)
     l_safe = jnp.where(l == 0.0, 1.0, l)
+    # empty request (kv_len == 0): chunk 0 is processed but fully masked,
+    # so l == 0 and the output is zeros with lse == -inf, as required
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
     lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
     lse_ref[0] = jnp.broadcast_to(lse, (rows, 128)).astype(lse_ref.dtype)
@@ -399,14 +417,14 @@ def paged_decode_attention(
         ],
         scratch_shapes=[
             pltpu.VMEM(
-                (2, chunk_pages, page_size, num_kv_heads * head_dim),
+                (3, chunk_pages, page_size, num_kv_heads * head_dim),
                 k_cache.dtype,
             ),
             pltpu.VMEM(
-                (2, chunk_pages, page_size, num_kv_heads * head_dim),
+                (3, chunk_pages, page_size, num_kv_heads * head_dim),
                 v_cache.dtype,
             ),
-            pltpu.SemaphoreType.DMA((2, chunk_pages, 2)),
+            pltpu.SemaphoreType.DMA((3, chunk_pages, 2)),
         ],
     )
     out, lse = pl.pallas_call(

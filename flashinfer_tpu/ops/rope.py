@@ -212,6 +212,114 @@ def apply_rope_with_cos_sin_cache(
     return qo.reshape(query.shape), ko.reshape(key.shape)
 
 
+def _fp8_quant(x: jax.Array, scale: float, dtype) -> jax.Array:
+    lim = 448.0 if dtype == jnp.float8_e4m3fn else 57344.0
+    return jnp.clip(
+        x.astype(jnp.float32) * scale, -lim, lim
+    ).astype(dtype)
+
+
+def rope_quantize_fp8(
+    q_rope: jax.Array,  # [nnz, H_q, rope_dim]
+    k_rope: jax.Array,  # [nnz, H_kv, rope_dim] (GQA) or [nnz, rope_dim] (MLA)
+    q_nope: jax.Array | None,
+    k_nope: jax.Array | None,
+    cos_sin_cache: jax.Array,  # [max_pos, rotary_dim] = [cos | sin]
+    pos_ids: jax.Array,
+    is_neox: bool = True,
+    quantize_dtype=None,
+    quant_scale_q: float = 1.0,
+    quant_scale_kv: float = 1.0,
+    **_out_buffers,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused RoPE + FP8 quantization (reference rope.py:1364): RoPE on the
+    rotary parts, quantize rotary and non-rotary parts. MLA layout (2-D k)
+    supported. Returns (q_rope, k_rope, q_nope, k_nope) quantized."""
+    quantize_dtype = quantize_dtype or jnp.float8_e4m3fn
+    rotary_dim = cos_sin_cache.shape[-1]
+    half = rotary_dim // 2
+    entry = cos_sin_cache[pos_ids]
+    cos, sin = entry[:, :half], entry[:, half:]
+
+    mla_k = k_rope.ndim == 2
+    k3 = k_rope[:, None] if mla_k else k_rope
+    q_r = _apply_rotary(q_rope, cos, sin, rotary_dim, interleave=not is_neox)
+    k_r = _apply_rotary(k3, cos, sin, rotary_dim, interleave=not is_neox)
+    if mla_k:
+        k_r = k_r[:, 0]
+    nnz = q_rope.shape[0]
+    qn = q_nope if q_nope is not None else jnp.zeros(
+        (nnz, q_rope.shape[1], 0), q_rope.dtype)
+    kn = k_nope if k_nope is not None else jnp.zeros(
+        k_rope.shape[:-1] + (0,), k_rope.dtype)
+    return (
+        _fp8_quant(q_r, quant_scale_q, quantize_dtype),
+        _fp8_quant(k_r, quant_scale_kv, quantize_dtype),
+        _fp8_quant(qn, quant_scale_q, quantize_dtype),
+        _fp8_quant(kn, quant_scale_kv, quantize_dtype),
+    )
+
+
+def mla_rope_quantize_fp8(q_rope, k_rope, q_nope, k_nope, cos_sin_cache,
+                          pos_ids, **kw):
+    """MLA layout wrapper (reference rope.py:1286): k tensors are 2-D."""
+    return rope_quantize_fp8(q_rope, k_rope, q_nope, k_nope, cos_sin_cache,
+                             pos_ids, **kw)
+
+
+def rope_quantize_fp8_append_paged_kv_cache(
+    q_rope: jax.Array,
+    k_rope: jax.Array,
+    q_nope: jax.Array | None,
+    k_nope: jax.Array | None,
+    v: jax.Array | None,
+    cos_sin_cache: jax.Array,
+    pos_ids: jax.Array,
+    paged_kv_cache: tuple[jax.Array, jax.Array],
+    kv_indices: jax.Array,
+    kv_indptr: jax.Array,
+    batch_indices: jax.Array,
+    positions: jax.Array,
+    is_neox: bool = True,
+    quantize_dtype=None,
+    quant_scale_q: float = 1.0,
+    quant_scale_kv: float = 1.0,
+    page_size: int = 16,
+    kv_layout: str = "NHD",
+    **_out_buffers,
+):
+    """Fused RoPE + FP8 quantize + paged-KV append (reference rope.py:1504).
+
+    Returns ``(q_out, updated_paged_kv_cache)`` where q_out concatenates
+    (q_rope | q_nope) quantized — the functional twist on the reference's
+    in-place cache write (donate the cache under jit for zero-copy).
+    """
+    from ..page import append_paged_kv_cache
+
+    q_r, k_r, q_n, k_n = rope_quantize_fp8(
+        q_rope, k_rope, q_nope, k_nope, cos_sin_cache, pos_ids,
+        is_neox=is_neox, quantize_dtype=quantize_dtype,
+        quant_scale_q=quant_scale_q, quant_scale_kv=quant_scale_kv,
+    )
+    mla = k_rope.ndim == 2
+    if mla:
+        # MLA cache rows are (ckv | kpe): k_nope is the compressed latent
+        k_full = jnp.concatenate([k_n, k_r], axis=-1)[:, None]
+        v_full = k_full  # MLA has no separate V; caller slices ckv
+    else:
+        k_full = jnp.concatenate([k_n, k_r], axis=-1) if k_n.shape[-1] \
+            else k_r
+        v_full = _fp8_quant(
+            v, quant_scale_kv, quantize_dtype or jnp.float8_e4m3fn
+        )
+    cache = append_paged_kv_cache(
+        k_full, v_full, batch_indices, positions, paged_kv_cache,
+        kv_indices, kv_indptr, None, kv_layout=kv_layout,
+    )
+    q_out = jnp.concatenate([q_n, q_r], axis=-1) if q_n.shape[-1] else q_r
+    return q_out, cache
+
+
 # "inplace" API-parity aliases: JAX is functional; these return new arrays.
 apply_rope_inplace = apply_rope
 apply_rope_pos_ids_inplace = apply_rope_pos_ids
