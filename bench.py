@@ -38,7 +38,9 @@ def _peak_bw_gbs() -> float:
 
 
 def main() -> None:
-    from flashinfer_tpu.ops.attention.pallas_decode import paged_decode_attention
+    from flashinfer_tpu.ops.attention.pallas_decode import (
+        paged_decode_attention_combined,
+    )
 
     batch, kv_len, page_size = 64, 2048, 32
     num_q_heads, num_kv_heads, head_dim = 32, 8, 128  # llama-3-8B geometry
@@ -47,12 +49,11 @@ def main() -> None:
     pages_per_req = kv_len // page_size
     num_pages = batch * pages_per_req
     rng = np.random.default_rng(0)
-    k_cache = jnp.asarray(
-        rng.standard_normal((num_pages, page_size, num_kv_heads, head_dim)),
-        dtype,
-    )
-    v_cache = jnp.asarray(
-        rng.standard_normal((num_pages, page_size, num_kv_heads, head_dim)),
+    # combined 5-D layout [pages, 2, ps, H, D]: one DMA per page (k+v)
+    kv_cache = jnp.asarray(
+        rng.standard_normal(
+            (num_pages, 2, page_size, num_kv_heads, head_dim)
+        ),
         dtype,
     )
     q = jnp.asarray(
@@ -63,15 +64,15 @@ def main() -> None:
     )
     kv_lens = jnp.full((batch,), kv_len, jnp.int32)
 
-    def step(q_cur, k_cache, v_cache, page_table, kv_lens):
-        o, _ = paged_decode_attention(
-            q_cur, k_cache, v_cache, page_table, kv_lens
+    def step(q_cur, kv_cache, page_table, kv_lens):
+        o, _ = paged_decode_attention_combined(
+            q_cur, kv_cache, page_table, kv_lens
         )
         return o  # output feeds the next query: true dependent chain
 
     from flashinfer_tpu.testing.utils import bench_loop
 
-    dt = bench_loop(step, q, k_cache, v_cache, page_table, kv_lens, iters=32)
+    dt = bench_loop(step, q, kv_cache, page_table, kv_lens, iters=32)
 
     itemsize = jnp.dtype(dtype).itemsize
     kv_bytes = 2 * batch * kv_len * num_kv_heads * head_dim * itemsize

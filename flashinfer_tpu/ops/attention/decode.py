@@ -207,6 +207,37 @@ class BatchDecodeWithPagedKVCacheWrapper:
             raise RuntimeError("call plan() before run()")
         del enable_pdl
         p = self._plan_params
+        # 5-D NHD combined cache rides the single-DMA-per-page fast path
+        # (k+v of a page in one descriptor — half the DMA issue rate)
+        from ...env import resolve_interpret
+
+        if (
+            not isinstance(paged_kv_cache, (tuple, list))
+            and getattr(paged_kv_cache, "ndim", 0) == 5
+            and self._kv_layout == KVLayout.NHD
+            and not resolve_interpret(interpret)  # interpreter → blockspec
+        ):
+            from .pallas_decode import paged_decode_attention_combined
+
+            sm_scale = p["sm_scale"]
+            if q_scale is not None:
+                sm_scale = sm_scale * q_scale
+            if paged_kv_cache.shape[2] != p["page_size"]:
+                raise ValueError(
+                    f"cache page_size {paged_kv_cache.shape[2]} != planned "
+                    f"{p['page_size']}"
+                )
+            out, lse = paged_decode_attention_combined(
+                q, paged_kv_cache, self._page_table, self._kv_lens,
+                sm_scale=sm_scale, logits_soft_cap=p["logits_soft_cap"],
+                window_left=p["window_left"],
+                k_scale=float(k_scale) if k_scale is not None else 1.0,
+                v_scale=float(v_scale) if v_scale is not None else 1.0,
+                sinks=sinks, interpret=interpret,
+            )
+            if return_lse:
+                return out, lse
+            return out
         k_cache, v_cache = unpack_paged_kv_cache(paged_kv_cache, self._kv_layout)
         if self._kv_layout == KVLayout.HND:
             k_cache = jnp.swapaxes(k_cache, 1, 2)

@@ -173,8 +173,8 @@ def _decode_kernel_v2(
     # filled by the PREVIOUS grid step's cross-request prefetch, so the
     # first chunk's DMA latency is hidden under the previous request's
     # compute)
-    k_buf,  # [3, CP, ps, Hkv*D] VMEM (kv dtype)
-    v_buf,
+    k_buf,  # separate: [3, CP, ps, Hkv*D]; combined: [3, CP, 2, ps, Hkv*D]
+    v_buf,  # separate: like k_buf; combined: [1] dummy
     sem,  # DMA semaphores [3, CP, 2]
     *,
     num_kv_heads: int,
@@ -188,7 +188,9 @@ def _decode_kernel_v2(
     k_scale: float,
     v_scale: float,
     use_sinks: bool,
+    combined: bool = False,
 ):
+    kv_buf = k_buf  # alias: in combined mode k_buf holds [.., 2, ps, HkvD]
     b = pl.program_id(0)
     num_b = pl.num_programs(0)
     kv_len = kv_lens_ref[b]
@@ -205,21 +207,32 @@ def _decode_kernel_v2(
     def issue(breq, chunk, slot):
         for j in range(chunk_pages):  # static unroll: one copy per page
             page = page_table_ref[breq, chunk * chunk_pages + j]
-            pltpu.make_async_copy(
-                k_hbm_ref.at[page], k_buf.at[slot, j], sem.at[slot, j, 0]
-            ).start()
-            pltpu.make_async_copy(
-                v_hbm_ref.at[page], v_buf.at[slot, j], sem.at[slot, j, 1]
-            ).start()
+            if combined:
+                # [2, ps, HkvD] per page: k and v ride ONE dma
+                pltpu.make_async_copy(
+                    k_hbm_ref.at[page], kv_buf.at[slot, j], sem.at[slot, j, 0]
+                ).start()
+            else:
+                pltpu.make_async_copy(
+                    k_hbm_ref.at[page], k_buf.at[slot, j], sem.at[slot, j, 0]
+                ).start()
+                pltpu.make_async_copy(
+                    v_hbm_ref.at[page], v_buf.at[slot, j], sem.at[slot, j, 1]
+                ).start()
 
     def wait(slot):
         for j in range(chunk_pages):
-            pltpu.make_async_copy(
-                k_hbm_ref.at[0], k_buf.at[slot, j], sem.at[slot, j, 0]
-            ).wait()
-            pltpu.make_async_copy(
-                v_hbm_ref.at[0], v_buf.at[slot, j], sem.at[slot, j, 1]
-            ).wait()
+            if combined:
+                pltpu.make_async_copy(
+                    k_hbm_ref.at[0], kv_buf.at[slot, j], sem.at[slot, j, 0]
+                ).wait()
+            else:
+                pltpu.make_async_copy(
+                    k_hbm_ref.at[0], k_buf.at[slot, j], sem.at[slot, j, 0]
+                ).wait()
+                pltpu.make_async_copy(
+                    v_hbm_ref.at[0], v_buf.at[slot, j], sem.at[slot, j, 1]
+                ).wait()
 
     # chunks actually processed (>=1 so the cross-step prefetch invariant
     # holds even for empty requests)
@@ -232,7 +245,15 @@ def _decode_kernel_v2(
     def _bootstrap():
         issue(0, 0, 2)
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # [rows, D]
+    # scalar k_scale folds into the q pre-scale; scalar v_scale is applied
+    # once at finalize — the hot loop never rescales KV data. f32 caches
+    # keep f32 math (tests/reference); bf16/fp8 caches run the bf16 MXU
+    # path with f32 accumulation (FA2 convention).
+    kv_dtype = k_buf.dtype
+    compute_dtype = jnp.float32 if kv_dtype == jnp.float32 else jnp.bfloat16
+    q = (
+        q_ref[0].astype(jnp.float32) * (sm_scale * k_scale)
+    ).astype(compute_dtype)  # [rows, D]
 
     def body(chunk, carry):
         m_prev, l_prev, acc = carry  # [rows,1],[rows,1],[rows,D]
@@ -243,51 +264,55 @@ def _decode_kernel_v2(
             issue(b, chunk + 1, slot_of(chunk + 1))
 
         wait(slot)
-        k = k_buf[slot].reshape(chunk_tokens, num_kv_heads * d)
-        v = v_buf[slot].reshape(chunk_tokens, num_kv_heads * d)
-        if k.dtype != jnp.float32:
-            k = k.astype(jnp.float32)
-            v = v.astype(jnp.float32)
-        if k_scale != 1.0:
-            k = k * k_scale
-        if v_scale != 1.0:
-            v = v * v_scale
+        if combined:
+            k = kv_buf[slot, :, 0].reshape(chunk_tokens, num_kv_heads * d)
+            v = kv_buf[slot, :, 1].reshape(chunk_tokens, num_kv_heads * d)
+        else:
+            k = k_buf[slot].reshape(chunk_tokens, num_kv_heads * d)
+            v = v_buf[slot].reshape(chunk_tokens, num_kv_heads * d)
+        if k.dtype != compute_dtype:  # fp8 KV: upcast once to bf16 (MXU in)
+            k = k.astype(compute_dtype)
+            v = v.astype(compute_dtype)
 
         pos = chunk * chunk_tokens + jax.lax.broadcasted_iota(
-            jnp.int32, (g8, chunk_tokens), 1
+            jnp.int32, (rows, chunk_tokens), 1
         )
         mask = pos < kv_len
         if window_left >= 0:
             mask = jnp.logical_and(mask, pos >= kv_len - (window_left + 1))
 
-        m_parts, l_parts, pv_parts = [], [], []
+        # phase 1 (MXU): per-head QK^T tiles, stacked to [rows, ct]
+        s_parts = []
         for h in range(num_kv_heads):  # static unroll over kv heads
-            qh = q[h * g8:(h + 1) * g8]  # [G8, D]
-            kh = k[:, h * d:(h + 1) * d]  # [ct, D] lane slice
-            vh = v[:, h * d:(h + 1) * d]
-            s = jax.lax.dot_general(
+            qh = q[h * g8:(h + 1) * g8]  # [G8, D] bf16
+            kh = k[:, h * d:(h + 1) * d]  # [ct, D] lane slice, bf16
+            s_parts.append(jax.lax.dot_general(
                 qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [G8, ct]
-            if logits_soft_cap > 0.0:
-                s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
-            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-            m_cur = jnp.max(s, axis=1, keepdims=True)  # [G8,1]
-            m_hprev = m_prev[h * g8:(h + 1) * g8]
-            m_new = jnp.maximum(m_hprev, m_cur)
-            p = jnp.exp(s - m_new)
-            p = jnp.where(mask, p, 0.0)
-            l_cur = jnp.sum(p, axis=1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p, vh, dimension_numbers=(((1,), (0,)), ((), ())),
+            ))
+        s = jnp.concatenate(s_parts, axis=0)  # [rows, ct]
+
+        # phase 2 (VPU): one masked online-softmax pass over ALL heads
+        if logits_soft_cap > 0.0:
+            s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [rows,1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+        l_cur = jnp.sum(p, axis=1, keepdims=True)
+        p_c = p.astype(compute_dtype)
+
+        # phase 3 (MXU): per-head P·V tiles (FA2 bf16-P convention)
+        pv_parts = []
+        for h in range(num_kv_heads):
+            ph = p_c[h * g8:(h + 1) * g8]
+            vh = v[:, h * d:(h + 1) * d]
+            pv_parts.append(jax.lax.dot_general(
+                ph, vh, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [G8, D]
-            m_parts.append(m_new)
-            l_parts.append(l_cur)
-            pv_parts.append(pv)
-        m_new = jnp.concatenate(m_parts, axis=0)  # [rows,1]
-        l_cur = jnp.concatenate(l_parts, axis=0)
-        pv = jnp.concatenate(pv_parts, axis=0)  # [rows,D]
+            ))
+        pv = jnp.concatenate(pv_parts, axis=0)  # [rows, D]
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + l_cur
         acc = acc * alpha + pv
@@ -312,7 +337,8 @@ def _decode_kernel_v2(
     l_safe = jnp.where(l == 0.0, 1.0, l)
     # empty request (kv_len == 0): chunk 0 is processed but fully masked,
     # so l == 0 and the output is zeros with lse == -inf, as required
-    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    o_scale = v_scale if v_scale != 1.0 else 1.0
+    o_ref[0] = (acc * o_scale / l_safe).astype(o_ref.dtype)
     lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
     lse_ref[0] = jnp.broadcast_to(lse, (rows, 128)).astype(lse_ref.dtype)
 
@@ -436,6 +462,108 @@ def paged_decode_attention(
         ],
         interpret=resolve_interpret(interpret),
     )(page_table, kv_lens, q3, k2, v2, sinks_arr)
+    out = out.reshape(batch, num_kv_heads, g8, head_dim)[:, :, :group]
+    out = out.reshape(batch, num_q_heads, head_dim)
+    lse_out = lse[:, :, 0].reshape(batch, num_kv_heads, g8)[:, :, :group]
+    lse_out = lse_out.reshape(batch, num_q_heads)
+    return out, lse_out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "logits_soft_cap", "window_left", "k_scale", "v_scale",
+        "interpret",
+    ),
+)
+def paged_decode_attention_combined(
+    q: jax.Array,  # [B, H_q, D]
+    kv_cache: jax.Array,  # [pages, 2, page_size, H_kv, D] (5-D NHD)
+    page_table: jax.Array,  # [B, max_pages]
+    kv_lens: jax.Array,  # [B]
+    *,
+    sm_scale: float | None = None,
+    logits_soft_cap: float = 0.0,
+    window_left: int = -1,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+    sinks: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Streaming decode over the reference's combined 5-D cache layout
+    ([pages, 2, ...], decode.py:1841): k and v of a page ride ONE DMA —
+    half the descriptor count of the split-cache path (the DMA issue rate
+    is the measured bottleneck at large batch)."""
+    batch, num_q_heads, head_dim = q.shape
+    num_pages, two, page_size, num_kv_heads, _ = kv_cache.shape
+    assert two == 2
+    group = num_q_heads // num_kv_heads
+    g8 = max(8, ((group + 7) // 8) * 8)
+    rows = num_kv_heads * g8
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+
+    chunk_pages = max(1, 512 // page_size)
+    max_pages = page_table.shape[1]
+    pad_pages = (-max_pages) % chunk_pages
+    if pad_pages:
+        page_table = jnp.pad(page_table, ((0, 0), (0, pad_pages)))
+        max_pages += pad_pages
+    chunk_pages = min(chunk_pages, max_pages)
+
+    q4 = q.reshape(batch, num_kv_heads, group, head_dim)
+    if g8 != group:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, g8 - group), (0, 0)))
+    q3 = q4.reshape(batch, rows, head_dim)
+    kv2 = kv_cache.reshape(num_pages, 2, page_size, num_kv_heads * head_dim)
+
+    use_sinks = sinks is not None
+    if use_sinks:
+        s3 = sinks.astype(jnp.float32).reshape(num_kv_heads, group)
+        s3 = jnp.pad(s3, ((0, 0), (0, g8 - group)), constant_values=-jnp.inf)
+        sinks_arr = jnp.broadcast_to(s3.reshape(rows, 1), (rows, 128))
+    else:
+        sinks_arr = jnp.full((rows, 128), -jnp.inf, jnp.float32)
+
+    kernel = functools.partial(
+        _decode_kernel_v2,
+        num_kv_heads=num_kv_heads, head_dim=head_dim, page_size=page_size,
+        chunk_pages=chunk_pages, g8=g8,
+        sm_scale=float(sm_scale), logits_soft_cap=float(logits_soft_cap),
+        window_left=int(window_left), k_scale=float(k_scale),
+        v_scale=float(v_scale), use_sinks=use_sinks, combined=True,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, rows, head_dim), lambda b, pt, kl: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # unused dummy (= kv)
+            pl.BlockSpec((rows, 128), lambda b, pt, kl: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, head_dim), lambda b, pt, kl: (b, 0, 0)),
+            pl.BlockSpec((1, rows, 128), lambda b, pt, kl: (b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(
+                (3, chunk_pages, 2, page_size, num_kv_heads * head_dim),
+                kv_cache.dtype,
+            ),
+            pltpu.VMEM((1,), jnp.float32),  # dummy v_buf
+            pltpu.SemaphoreType.DMA((3, chunk_pages, 2)),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, rows, head_dim), q.dtype),
+            jax.ShapeDtypeStruct((batch, rows, 128), jnp.float32),
+        ],
+        interpret=resolve_interpret(interpret),
+    )(page_table, kv_lens, q3, kv2, kv2, sinks_arr)
     out = out.reshape(batch, num_kv_heads, g8, head_dim)[:, :, :group]
     out = out.reshape(batch, num_q_heads, head_dim)
     lse_out = lse[:, :, 0].reshape(batch, num_kv_heads, g8)[:, :, :group]

@@ -27,9 +27,9 @@ class RoutingMethodType(enum.IntEnum):
     Llama4 = 3
     RenormalizeNaive = 4
     TopK = 5
-    Sigmoid = 6
-    SigmoidRenorm = 7
-    MiniMax2 = 8
+    SigmoidRenorm = 6
+    MiniMax2 = 7
+    Sigmoid = 8
     Unspecified = 9
 
 

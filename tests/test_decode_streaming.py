@@ -38,6 +38,29 @@ def test_streaming_matches_blockspec(kv_len, page_size, with_sinks):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_combined_kv_matches_separate():
+    from flashinfer_tpu.ops.attention.pallas_decode import (
+        paged_decode_attention_combined,
+    )
+
+    batch, hq, hkv, d, ps = 2, 8, 4, 128, 16
+    rng = np.random.default_rng(2)
+    num_pages = 6
+    k = rng.standard_normal((num_pages, ps, hkv, d)).astype(np.float32)
+    v = rng.standard_normal((num_pages, ps, hkv, d)).astype(np.float32)
+    kv5 = jnp.asarray(np.stack([k, v], axis=1))
+    q = jnp.asarray(rng.standard_normal((batch, hq, d)), jnp.float32)
+    pt = jnp.asarray(np.arange(num_pages, dtype=np.int32).reshape(2, 3))
+    kl = jnp.asarray([40, 33], jnp.int32)
+    o1, l1 = paged_decode_attention(
+        q, jnp.asarray(k), jnp.asarray(v), pt, kl, kernel_impl="streaming")
+    o2, l2 = paged_decode_attention_combined(q, kv5, pt, kl)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_streaming_window_and_softcap():
     batch, hq, hkv, d, page_size = 2, 4, 2, 128, 16
     kv_len = 40
