@@ -41,8 +41,22 @@ from ...utils import cdiv, next_power_of_2
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
-ROW_BLOCK = 128  # q rows per tile = tokens * gqa_group (MXU-aligned)
-KV_BLOCK = 128  # kv positions per chunk
+ROW_BLOCK = 128  # default q rows per tile = tokens * gqa_group
+KV_BLOCK = 128  # default kv positions per chunk
+
+# TPU defaults: larger tiles amortize per-grid-step overhead (the dominant
+# cost at small tiles — measured 1.3 us/step); the interpreter keeps small
+# tiles for CPU CI speed.
+TPU_ROW_BLOCK = 256
+TPU_KV_BLOCK = 512
+
+
+def default_blocks() -> tuple[int, int]:
+    from ...env import is_tpu_backend
+
+    if is_tpu_backend():
+        return TPU_ROW_BLOCK, TPU_KV_BLOCK
+    return ROW_BLOCK, KV_BLOCK
 
 
 @dataclass(frozen=True)
@@ -81,6 +95,9 @@ class PrefillPlan:
     # per-request padded offsets (host) — used to place custom masks
     q_pad_starts: np.ndarray | None = None  # [B] token-row offset in padding
     kv_pad_starts: np.ndarray | None = None  # [B] kv-row offset in padding
+    # tile geometry this plan was built for
+    row_block: int = ROW_BLOCK
+    kv_block: int = KV_BLOCK
 
 
 def build_prefill_plan(
@@ -93,6 +110,8 @@ def build_prefill_plan(
     kv_row_starts: np.ndarray | None = None,  # ragged KV row offsets [B]
     page_table: list[np.ndarray] | None = None,  # per-request page lists
     page_size: int = 1,
+    row_block: int | None = None,
+    kv_block: int | None = None,
 ) -> PrefillPlan:
     """Host-side scheduling (analog of PrefillPlan scheduler.cuh:897).
 
@@ -103,12 +122,16 @@ def build_prefill_plan(
     kv_lens = np.asarray(kv_lens, np.int64)
     batch = len(qo_indptr) - 1
     group = num_qo_heads // num_kv_heads
-    tq_tokens = max(1, ROW_BLOCK // group)  # tokens per q tile
+    d_rb, d_kb = default_blocks()
+    row_block = row_block or d_rb
+    kv_block = kv_block or d_kb
+    tq_tokens = max(1, row_block // group)  # tokens per q tile
 
     native = _try_native_plan(
         qo_indptr, kv_lens, group, tq_tokens, causal,
         kv_row_starts=kv_row_starts, page_table=page_table,
         page_size=page_size, num_kv_heads=num_kv_heads,
+        row_block=row_block, kv_block=kv_block,
     )
     if native is not None:
         return native
@@ -139,8 +162,8 @@ def build_prefill_plan(
         q_valid.append(valid)
         out_src[qo_indptr[b] : qo_indptr[b + 1]] = q_row_cursor + np.arange(qo_len)
         # --- padded kv rows for this request
-        n_kv_blocks = max(1, cdiv(kv_len, KV_BLOCK))
-        padded_kv = n_kv_blocks * KV_BLOCK
+        n_kv_blocks = max(1, cdiv(kv_len, kv_block))
+        padded_kv = n_kv_blocks * kv_block
         if page_table is not None:
             pages = np.asarray(page_table[b], np.int64)
             slots = np.arange(padded_kv)
@@ -152,7 +175,7 @@ def build_prefill_plan(
         kvalid = np.arange(padded_kv) < kv_len
         kv_src.append(np.where(kvalid, rows, 0))
         kv_valid.append(kvalid)
-        kv_blk0 = kv_row_cursor // KV_BLOCK
+        kv_blk0 = kv_row_cursor // kv_block
         # --- work items
         for t in range(n_tiles):
             w = len(work_q_blk)
@@ -162,8 +185,8 @@ def build_prefill_plan(
                 eff = min(kv_len, tile_end_pos + kv_len - qo_len + 1)
             else:
                 eff = kv_len
-            n_chunks = max(1, cdiv(max(eff, 1), KV_BLOCK))
-            work_q_blk.append((q_row_cursor // tq_tokens + t) * tq_tokens * group // ROW_BLOCK)
+            n_chunks = max(1, cdiv(max(eff, 1), kv_block))
+            work_q_blk.append((q_row_cursor // tq_tokens + t) * tq_tokens * group // row_block)
             work_kv_blk.append(kv_blk0)
             work_kv_len.append(kv_len)
             work_qo_len.append(qo_len)
@@ -178,7 +201,7 @@ def build_prefill_plan(
 
     # dummy tile at the end as scratch target for padding items
     dummy_w = len(work_q_blk)
-    work_q_blk.append(q_row_cursor * group // ROW_BLOCK)
+    work_q_blk.append(q_row_cursor * group // row_block)
     work_kv_blk.append(0)
     work_kv_len.append(0)
     work_qo_len.append(1)
@@ -187,9 +210,9 @@ def build_prefill_plan(
     q_valid.append(np.zeros(tq_tokens, bool))
     q_row_cursor += tq_tokens
     if kv_row_cursor == 0:
-        kv_src.append(np.zeros(KV_BLOCK, np.int64))
-        kv_valid.append(np.zeros(KV_BLOCK, bool))
-        kv_row_cursor += KV_BLOCK
+        kv_src.append(np.zeros(kv_block, np.int64))
+        kv_valid.append(np.zeros(kv_block, bool))
+        kv_row_cursor += kv_block
 
     num_items = max(1, len(item_w))
     items_pad = next_power_of_2(num_items)
@@ -224,12 +247,15 @@ def build_prefill_plan(
         num_kv_heads=num_kv_heads,
         q_pad_starts=q_pad_starts,
         kv_pad_starts=kv_pad_starts,
+        row_block=row_block,
+        kv_block=kv_block,
     )
 
 
 def _try_native_plan(
     qo_indptr, kv_lens, group, tq_tokens, causal, *, kv_row_starts,
-    page_table, page_size, num_kv_heads,
+    page_table, page_size, num_kv_heads, row_block=ROW_BLOCK,
+    kv_block=KV_BLOCK,
 ) -> "PrefillPlan | None":
     """Build the plan with the C++ scheduler (csrc/planner.cpp) when
     available — byte-identical to the Python path (tested)."""
@@ -242,13 +268,13 @@ def _try_native_plan(
         pages = (np.concatenate(page_lists) if page_lists
                  else np.zeros(0, np.int64))
         raw = native_prefill_plan(
-            qo_indptr, kv_lens, group, tq_tokens, ROW_BLOCK, KV_BLOCK,
+            qo_indptr, kv_lens, group, tq_tokens, row_block, kv_block,
             causal, page_size=page_size, page_indptr=page_indptr,
             pages=pages,
         )
     else:
         raw = native_prefill_plan(
-            qo_indptr, kv_lens, group, tq_tokens, ROW_BLOCK, KV_BLOCK,
+            qo_indptr, kv_lens, group, tq_tokens, row_block, kv_block,
             causal, page_size=0,
             kv_row_starts=np.asarray(kv_row_starts, np.int64),
         )
@@ -272,6 +298,7 @@ def _try_native_plan(
         num_items=s["num_items"], num_works=s["num_works"],
         group=group, num_kv_heads=num_kv_heads,
         q_pad_starts=raw["q_pad_starts"], kv_pad_starts=raw["kv_pad_starts"],
+        row_block=row_block, kv_block=kv_block,
     )
 
 
@@ -346,18 +373,22 @@ def _prefill_kernel(
     kv_len = work_kv_len_ref[w]
     qo_len = work_qo_len_ref[w]
     q_pos0 = work_q_pos_ref[w]
-    kv_start = c * KV_BLOCK
+    kv_start = c * k_ref.shape[1]
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # [ROWS, D]
+    # bf16 MXU path with f32 accumulation (FA2 convention): scalar k_scale
+    # folds into the q pre-scale, v_scale into the epilogue; f32 caches keep
+    # f32 math (tests/reference parity).
+    compute_dtype = (
+        jnp.float32 if k_ref.dtype == jnp.float32 else jnp.bfloat16
+    )
+    q = (
+        q_ref[0].astype(jnp.float32) * (sm_scale * k_scale)
+    ).astype(compute_dtype)  # [ROWS, D]
     k = k_ref[0]
     v = v_ref[0]
-    if k.dtype != jnp.float32:
-        k = k.astype(jnp.float32)
-        v = v.astype(jnp.float32)
-    if k_scale != 1.0:
-        k = k * k_scale
-    if v_scale != 1.0:
-        v = v * v_scale
+    if k.dtype != compute_dtype:  # fp8 KV upcast
+        k = k.astype(compute_dtype)
+        v = v.astype(compute_dtype)
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -404,7 +435,8 @@ def _prefill_kernel(
     m_scratch[...] = m_new
     l_scratch[...] = l_new
     pv = jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        p.astype(compute_dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
@@ -418,7 +450,10 @@ def _prefill_kernel(
             m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
             l = l + jnp.exp(sink - m_safe[:, :1])
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scratch[...] / l_safe[:, :1]).astype(o_ref.dtype)
+        o_scale = v_scale if v_scale != 1.0 else 1.0
+        o_ref[0] = (
+            acc_scratch[...] * o_scale / l_safe[:, :1]
+        ).astype(o_ref.dtype)
         lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
         lse_ref[0] = lse.astype(lse_ref.dtype)
 
@@ -428,7 +463,7 @@ def _prefill_kernel(
     static_argnames=(
         "group", "sm_scale", "causal", "logits_soft_cap", "window_left",
         "k_scale", "v_scale", "use_sinks", "use_alibi", "use_custom_mask",
-        "interpret",
+        "row_block", "kv_block", "interpret",
     ),
 )
 def prefill_packed(
@@ -449,12 +484,16 @@ def prefill_packed(
     use_sinks: bool = False,
     use_alibi: bool = False,
     use_custom_mask: bool = False,
+    row_block: int = ROW_BLOCK,
+    kv_block: int = KV_BLOCK,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Run the flat-item prefill kernel on packed layouts.
 
     Returns packed (out [H_kv, TqG, D], lse [H_kv, TqG, 128]).
     """
+    ROW_BLOCK = row_block  # noqa: N806 (local tile geometry)
+    KV_BLOCK = kv_block  # noqa: N806
     num_kv_heads, tqg, head_dim = q_packed.shape
     (item_w, item_c, item_first, item_last, work_q_blk, work_kv_blk,
      work_kv_len, work_qo_len, work_q_pos) = plan_arrays
@@ -553,6 +592,8 @@ def run_prefill(
     total_q, num_q_heads, head_dim = q.shape
     h_kv = plan.num_kv_heads
     g = plan.group
+    ROW_BLOCK = plan.row_block  # noqa: N806 (plan-owned tile geometry)
+    KV_BLOCK = plan.kv_block  # noqa: N806
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(head_dim)
 
@@ -610,7 +651,8 @@ def run_prefill(
         logits_soft_cap=logits_soft_cap, window_left=window_left,
         k_scale=k_scale, v_scale=v_scale,
         use_sinks=use_sinks, use_alibi=use_alibi,
-        use_custom_mask=use_custom_mask, interpret=interpret,
+        use_custom_mask=use_custom_mask,
+        row_block=ROW_BLOCK, kv_block=KV_BLOCK, interpret=interpret,
     )
 
     # unpack: [H_kv, Tq_pad*G, D] -> ragged [total_q, H_q, D]

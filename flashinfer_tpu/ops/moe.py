@@ -218,6 +218,64 @@ def trtllm_fp8_per_tensor_scale_moe(
     )
 
 
+def trtllm_bf16_routed_moe(
+    topk_ids: jax.Array,  # [T, K] precomputed routing
+    topk_weights: jax.Array,
+    hidden_states: jax.Array,
+    gemm1_weights: jax.Array,  # [E, 2I, H]
+    gemm2_weights: jax.Array,  # [E, H, I]
+    **_ignored,
+) -> jax.Array:
+    """Routed-variant MoE: caller supplies (ids, weights) — the reference's
+    `trtllm_*_routed_moe` family (fused_moe/core.py routed entry points)."""
+    return cutlass_fused_moe(
+        hidden_states, topk_ids, topk_weights, gemm1_weights, gemm2_weights
+    )
+
+
+def trtllm_mxint4_moe(
+    routing_logits: jax.Array,
+    routing_bias: jax.Array | None,
+    hidden_states: jax.Array,
+    gemm1_weights: jax.Array,  # [E, 2I, H//2] uint8: two int4 per byte
+    gemm1_weights_scale: jax.Array,  # [E, 2I, H//32]
+    gemm2_weights: jax.Array,  # [E, H, I//2] uint8
+    gemm2_weights_scale: jax.Array,  # [E, H, I//32]
+    num_experts: int,
+    top_k: int,
+    routing_method_type: int = RoutingMethodType.Renormalize,
+    n_group: int | None = None,
+    topk_group: int | None = None,
+    routed_scaling_factor: float | None = None,
+    **_ignored,
+) -> jax.Array:
+    """MxInt4-weight routed MoE (reference fused_moe/core.py trtllm_mxint4_moe):
+    signed int4 pairs with 32-element block scales, dequantized to bf16
+    feeding the grouped GEMM."""
+    ids, w = apply_routing(
+        RoutingMethodType(routing_method_type), routing_logits, top_k,
+        bias=routing_bias, n_group=n_group or 8, topk_group=topk_group or 4,
+        routed_scaling_factor=routed_scaling_factor or 2.5,
+    )
+
+    def dq_int4(packed, scale, block=32):
+        e, r, c_half = packed.shape
+        c = c_half * 2
+        lo = (packed & 0xF).astype(jnp.int8)
+        hi = (packed >> 4).astype(jnp.int8)
+        lo = jnp.where(lo >= 8, lo - 16, lo)  # sign-extend nibble
+        hi = jnp.where(hi >= 8, hi - 16, hi)
+        vals = jnp.stack([lo, hi], -1).reshape(e, r, c).astype(jnp.float32)
+        vals = vals.reshape(e, r, c // block, block) * scale.astype(
+            jnp.float32)[..., None]
+        return vals.reshape(e, r, c).astype(jnp.bfloat16)
+
+    w13 = jnp.swapaxes(dq_int4(gemm1_weights, gemm1_weights_scale), 1, 2)
+    w2 = jnp.swapaxes(dq_int4(gemm2_weights, gemm2_weights_scale), 1, 2)
+    return fused_moe(hidden_states, w13, w2, ids, w,
+                     out_dtype=hidden_states.dtype)
+
+
 def trtllm_fp4_block_scale_moe(
     routing_logits: jax.Array,
     routing_bias: jax.Array | None,

@@ -21,3 +21,9 @@ from .ring import ring_attention  # noqa: F401
 from .ep import ep_combine, ep_dispatch, moe_ep_forward  # noqa: F401
 from .dcp import dcp_decode_attention, dcp_merge  # noqa: F401
 from .parallel_attention import ParallelAttention, ParallelConfig  # noqa: F401
+from .mixed_comm import (  # noqa: F401
+    MixedCommMode,
+    mixed_comm_layer,
+    mixed_comm_post,
+    mixed_comm_pre,
+)

@@ -112,7 +112,7 @@ def test_batch_ragged_prefill(rng, causal):
             rtol=3e-2, atol=3e-2,
         )
         np.testing.assert_allclose(
-            np.asarray(lse[qs:qe]), np.asarray(ref_lse), rtol=2e-3, atol=2e-3
+            np.asarray(lse[qs:qe]), np.asarray(ref_lse), rtol=8e-3, atol=8e-3
         )
 
 
