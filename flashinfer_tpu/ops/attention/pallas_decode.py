@@ -173,9 +173,9 @@ def _decode_kernel_v2(
     # filled by the PREVIOUS grid step's cross-request prefetch, so the
     # first chunk's DMA latency is hidden under the previous request's
     # compute)
-    k_buf,  # separate: [3, CP, ps, Hkv*D]; combined: [3, CP, 2, ps, Hkv*D]
+    k_buf,  # separate: [4, CP, ps, Hkv*D]; combined: [4, CP, 2, ps, Hkv*D]
     v_buf,  # separate: like k_buf; combined: [1] dummy
-    sem,  # DMA semaphores [3, CP, 2]
+    sem,  # DMA semaphores [4, CP, 2]
     *,
     num_kv_heads: int,
     head_dim: int,
@@ -200,9 +200,13 @@ def _decode_kernel_v2(
     rows = num_kv_heads * g8
     chunk_tokens = chunk_pages * page_size
 
+    parity = jax.lax.rem(b, 2)
+
     def slot_of(chunk):
-        # chunk 0 → slot 2; odd → 1; even>0 → 0
-        return jnp.where(chunk == 0, 2, jax.lax.rem(chunk, 2))
+        # chunk 0 → slot 2/3 alternating per request (the cross-request
+        # prefetch never writes a slot the current request reads); odd
+        # chunks → 1; even>0 → 0
+        return jnp.where(chunk == 0, 2 + parity, jax.lax.rem(chunk, 2))
 
     def issue(breq, chunk, slot):
         for j in range(chunk_pages):  # static unroll: one copy per page
@@ -321,7 +325,7 @@ def _decode_kernel_v2(
         # start the NEXT request's chunk 0 into slot 2 (read long ago)
         @pl.when(jnp.logical_and(chunk + 1 >= valid_chunks, b + 1 < num_b))
         def _cross_prefetch():
-            issue(b + 1, 0, 2)
+            issue(b + 1, 0, 3 - parity)
 
         return m_new, l_new, acc
 
@@ -443,14 +447,14 @@ def paged_decode_attention(
         ],
         scratch_shapes=[
             pltpu.VMEM(
-                (3, chunk_pages, page_size, num_kv_heads * head_dim),
+                (4, chunk_pages, page_size, num_kv_heads * head_dim),
                 k_cache.dtype,
             ),
             pltpu.VMEM(
-                (3, chunk_pages, page_size, num_kv_heads * head_dim),
+                (4, chunk_pages, page_size, num_kv_heads * head_dim),
                 v_cache.dtype,
             ),
-            pltpu.SemaphoreType.DMA((3, chunk_pages, 2)),
+            pltpu.SemaphoreType.DMA((4, chunk_pages, 2)),
         ],
     )
     out, lse = pl.pallas_call(
@@ -548,11 +552,11 @@ def paged_decode_attention_combined(
         ],
         scratch_shapes=[
             pltpu.VMEM(
-                (3, chunk_pages, 2, page_size, num_kv_heads * head_dim),
+                (4, chunk_pages, 2, page_size, num_kv_heads * head_dim),
                 kv_cache.dtype,
             ),
             pltpu.VMEM((1,), jnp.float32),  # dummy v_buf
-            pltpu.SemaphoreType.DMA((3, chunk_pages, 2)),
+            pltpu.SemaphoreType.DMA((4, chunk_pages, 2)),
         ],
     )
     out, lse = pl.pallas_call(

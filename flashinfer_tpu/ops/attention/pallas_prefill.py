@@ -566,6 +566,312 @@ def prefill_packed(
     return out, lse
 
 
+def _prefill_kernel_stream(
+    # scalar prefetch (work tables only — the flat item list is not needed:
+    # each grid step owns a whole q tile and loops its kv chunks inline)
+    work_q_blk_ref, work_kv_blk_ref, work_kv_len_ref, work_qo_len_ref,
+    work_q_pos_ref,
+    # inputs
+    q_ref,  # [1, RB, D] VMEM (auto-pipelined by Pallas)
+    k_hbm_ref,  # [H_kv, Tkv_pad, D] ANY
+    v_hbm_ref,
+    aux_ref,  # [1, RB, 128]
+    mask_hbm_ref,  # [Tq_tokens_pad, Tkv_pad] ANY (or [8, 128] dummy)
+    # outputs
+    o_ref,  # [1, RB, D]
+    lse_ref,  # [1, RB, 128]
+    # scratch: 4 slots (2/3 = chunk 0, parity-alternating)
+    k_buf,  # [4, KB, D]
+    v_buf,
+    mask_buf,  # [4, tq_tokens, KB] (or [1] dummy)
+    sem,  # DMA [4, 3]
+    *,
+    group: int,
+    row_block: int,
+    kv_block: int,
+    sm_scale: float,
+    causal: bool,
+    logits_soft_cap: float,
+    window_left: int,
+    k_scale: float,
+    v_scale: float,
+    use_sinks: bool,
+    use_alibi: bool,
+    use_custom_mask: bool,
+):
+    h = pl.program_id(0)
+    w = pl.program_id(1)
+    num_h = pl.num_programs(0)
+    num_w = pl.num_programs(1)
+    rb, kb = row_block, kv_block
+    d = q_ref.shape[2]
+    tq_tokens = rb // group
+
+    def n_chunks_of(wi):
+        kv_len = work_kv_len_ref[wi]
+        qo_len = work_qo_len_ref[wi]
+        q_pos = work_q_pos_ref[wi]
+        if causal:
+            tile_end = jnp.minimum(q_pos + tq_tokens, qo_len) - 1
+            eff = jnp.minimum(kv_len, tile_end + kv_len - qo_len + 1)
+        else:
+            eff = kv_len
+        return jnp.where(
+            kv_len > 0, jax.lax.div(jnp.maximum(eff, 1) + kb - 1, kb), 0
+        )
+
+    parity = jax.lax.rem(h * num_w + w, 2)
+
+    def slot_of(chunk):
+        # chunk 0 lives in slot 2/3, alternating per grid step, so the
+        # cross-step prefetch NEVER writes a slot the current step reads
+        return jnp.where(chunk == 0, 2 + parity, jax.lax.rem(chunk, 2))
+
+    def issue(wi, chunk, slot, hh=None):
+        hh = h if hh is None else hh
+        row0 = (work_kv_blk_ref[wi] + chunk) * kb
+        pltpu.make_async_copy(
+            k_hbm_ref.at[hh, pl.ds(row0, kb)], k_buf.at[slot], sem.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            v_hbm_ref.at[hh, pl.ds(row0, kb)], v_buf.at[slot], sem.at[slot, 1]
+        ).start()
+        if use_custom_mask:
+            q_tok0 = work_q_blk_ref[wi] * tq_tokens
+            pltpu.make_async_copy(
+                mask_hbm_ref.at[pl.ds(q_tok0, tq_tokens), pl.ds(row0, kb)],
+                mask_buf.at[slot], sem.at[slot, 2],
+            ).start()
+
+    def wait(slot):
+        pltpu.make_async_copy(
+            k_hbm_ref.at[0, pl.ds(0, kb)], k_buf.at[slot], sem.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            v_hbm_ref.at[0, pl.ds(0, kb)], v_buf.at[slot], sem.at[slot, 1]
+        ).wait()
+        if use_custom_mask:
+            pltpu.make_async_copy(
+                mask_hbm_ref.at[pl.ds(0, tq_tokens), pl.ds(0, kb)],
+                mask_buf.at[slot], sem.at[slot, 2],
+            ).wait()
+
+    n_chunks = n_chunks_of(w)
+
+    @pl.when(jnp.logical_and(h == 0, w == 0))
+    def _bootstrap():
+        @pl.when(n_chunks > 0)
+        def _():
+            issue(0, 0, 2)
+
+    kv_dtype = k_buf.dtype
+    compute_dtype = jnp.float32 if kv_dtype == jnp.float32 else jnp.bfloat16
+    q = (
+        q_ref[0].astype(jnp.float32) * (sm_scale * k_scale)
+    ).astype(compute_dtype)  # [RB, D]
+
+    kv_len = work_kv_len_ref[w]
+    qo_len = work_qo_len_ref[w]
+    q_pos0 = work_q_pos_ref[w]
+    diag = kv_len - qo_len
+
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (rb, kb), 0)
+    q_token = q_pos0 + rows_i // group
+
+    def body(chunk, carry):
+        m_prev, l_prev, acc = carry
+        slot = slot_of(chunk)
+
+        # prefetch the next chunk of this tile (different slot — safe to
+        # issue before the wait)
+        @pl.when(chunk + 1 < n_chunks)
+        def _pf():
+            issue(w, chunk + 1, slot_of(chunk + 1))
+
+        wait(slot)
+        k = k_buf[slot]
+        v = v_buf[slot]
+        if k.dtype != compute_dtype:
+            k = k.astype(compute_dtype)
+            v = v.astype(compute_dtype)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [RB, KB]
+        kv_pos = chunk * kb + jax.lax.broadcasted_iota(jnp.int32, (rb, kb), 1)
+        if use_alibi:
+            slope = aux_ref[0, :, 1:2]
+            s = s + slope * (kv_pos - (q_token + diag)).astype(jnp.float32)
+        if logits_soft_cap > 0.0:
+            s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+        mask = jnp.logical_and(kv_pos < kv_len, q_token < qo_len)
+        if causal:
+            mask = jnp.logical_and(mask, kv_pos <= q_token + diag)
+        if window_left >= 0:
+            mask = jnp.logical_and(mask, kv_pos >= q_token + diag - window_left)
+        if use_custom_mask:
+            cm = mask_buf[slot]  # [tq_tokens, KB]
+            cm = jnp.broadcast_to(
+                cm[:, None, :], (tq_tokens, group, kb)
+            ).reshape(rb, kb)
+            mask = jnp.logical_and(mask, cm > 0.0)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+        l_new = l_prev * jnp.exp(m_prev - m_new) + jnp.sum(
+            p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(compute_dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * jnp.exp(m_prev - m_new) + pv
+
+        # cross-tile prefetch of the NEXT step's chunk 0 — placed after the
+        # compute that reads slot 2 so the slot-2 overwrite (single-chunk
+        # tiles: current slot IS 2) is ordered behind those reads
+        @pl.when(chunk + 1 >= n_chunks)
+        def _pf_next_work():
+            wrap = w + 1 >= num_w
+            nxt_w = jnp.where(wrap, 0, w + 1)
+            nxt_h = jnp.where(wrap, h + 1, h)  # grid order: w fastest
+            nxt_valid = jnp.logical_or(w + 1 < num_w, h + 1 < num_h)
+
+            @pl.when(jnp.logical_and(nxt_valid, n_chunks_of(nxt_w) > 0))
+            def _():
+                issue(nxt_w, 0, 3 - parity, hh=jnp.minimum(nxt_h, num_h - 1))
+
+        return m_new, l_new, acc
+
+    m0 = jnp.full((rb, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((rb, 1), jnp.float32)
+    acc0 = jnp.zeros((rb, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+
+    # chunk-0 prefetch for the next step normally happens in the last
+    # chunk's body; a zero-chunk (dummy) tile must do it here or the next
+    # step would wait on a never-issued DMA
+    @pl.when(n_chunks == 0)
+    def _pf_from_empty():
+        wrap = w + 1 >= num_w
+        nxt_w = jnp.where(wrap, 0, w + 1)
+        nxt_h = jnp.where(wrap, h + 1, h)
+        nxt_valid = jnp.logical_or(w + 1 < num_w, h + 1 < num_h)
+
+        @pl.when(jnp.logical_and(nxt_valid, n_chunks_of(nxt_w) > 0))
+        def _():
+            issue(nxt_w, 0, 3 - parity, hh=jnp.minimum(nxt_h, num_h - 1))
+
+    if use_sinks:
+        sink = aux_ref[0, :, 0:1]
+        m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+        l = l + jnp.exp(sink - m_safe)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_scale = v_scale if v_scale != 1.0 else 1.0
+    o_ref[0] = (acc * o_scale / l_safe).astype(o_ref.dtype)
+    lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
+    lse_ref[0] = jnp.broadcast_to(lse, (rb, 128)).astype(lse_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group", "sm_scale", "causal", "logits_soft_cap", "window_left",
+        "k_scale", "v_scale", "use_sinks", "use_alibi", "use_custom_mask",
+        "row_block", "kv_block", "interpret",
+    ),
+)
+def prefill_packed_stream(
+    q_packed: jax.Array,  # [H_kv, Tq_pad*group, D]
+    k_packed: jax.Array,  # [H_kv, Tkv_pad, D]
+    v_packed: jax.Array,
+    aux_packed: jax.Array,  # [H_kv, RB, 128]
+    mask_packed: jax.Array,  # [Tq_tok_pad, Tkv_pad] or dummy
+    plan_arrays: tuple,  # 5 work tables (i32)
+    *,
+    group: int,
+    sm_scale: float,
+    causal: bool,
+    logits_soft_cap: float = 0.0,
+    window_left: int = -1,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+    use_sinks: bool = False,
+    use_alibi: bool = False,
+    use_custom_mask: bool = False,
+    row_block: int = ROW_BLOCK,
+    kv_block: int = KV_BLOCK,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Streaming prefill: grid (kv_head, q_tile); each step loops its kv
+    chunks with 3-slot double-buffered contiguous DMA from the packed KV —
+    the decode-kernel recipe applied to prefill (one DMA per [KB, D] chunk
+    instead of one grid step per chunk)."""
+    num_kv_heads, tqg, head_dim = q_packed.shape
+    (work_q_blk, work_kv_blk, work_kv_len, work_qo_len, work_q_pos) = (
+        plan_arrays
+    )
+    num_works = work_q_blk.shape[0]
+    rb, kb = row_block, kv_block
+    tq_tokens = rb // group
+
+    def q_map(h, w, wqb, wkb, wkl, wql, wqp):
+        return (h, wqb[w], 0)
+
+    def aux_map(h, w, *refs):
+        return (h, 0, 0)
+
+    kernel = functools.partial(
+        _prefill_kernel_stream,
+        group=group, row_block=rb, kv_block=kb,
+        sm_scale=float(sm_scale), causal=bool(causal),
+        logits_soft_cap=float(logits_soft_cap), window_left=int(window_left),
+        k_scale=float(k_scale), v_scale=float(v_scale),
+        use_sinks=bool(use_sinks), use_alibi=bool(use_alibi),
+        use_custom_mask=bool(use_custom_mask),
+    )
+    mask_scratch = (
+        pltpu.VMEM((4, tq_tokens, kb), jnp.float32)
+        if use_custom_mask else pltpu.VMEM((1, 8, 128), jnp.float32)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(num_kv_heads, num_works),
+        in_specs=[
+            pl.BlockSpec((1, rb, head_dim), q_map),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, rb, 128), aux_map),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rb, head_dim), q_map),
+            pl.BlockSpec((1, rb, 128), q_map),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, kb, head_dim), k_packed.dtype),
+            pltpu.VMEM((4, kb, head_dim), v_packed.dtype),
+            mask_scratch,
+            pltpu.SemaphoreType.DMA((4, 3)),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q_packed.shape, q_packed.dtype),
+            jax.ShapeDtypeStruct((num_kv_heads, tqg, 128), jnp.float32),
+        ],
+        interpret=resolve_interpret(interpret),
+    )(
+        work_q_blk, work_kv_blk, work_kv_len, work_qo_len, work_q_pos,
+        q_packed, k_packed, v_packed, aux_packed, mask_packed,
+    )
+    return out, lse
+
+
 def run_prefill(
     q: jax.Array,  # [total_q, H_q, D] ragged
     kv_rows_k: jax.Array,  # [num_rows, H_kv, D] flattened KV row pool
@@ -640,13 +946,7 @@ def run_prefill(
     else:
         mask_packed = jnp.zeros((ROW_BLOCK // g, KV_BLOCK), jnp.float32)
 
-    plan_arrays = (
-        plan.item_w, plan.item_c, plan.item_first, plan.item_last,
-        plan.work_q_blk, plan.work_kv_blk, plan.work_kv_len,
-        plan.work_qo_len, plan.work_q_pos,
-    )
-    out_p, lse_p = prefill_packed(
-        qp, kp, vp, aux, mask_packed, plan_arrays,
+    common = dict(
         group=g, sm_scale=float(sm_scale), causal=causal,
         logits_soft_cap=logits_soft_cap, window_left=window_left,
         k_scale=k_scale, v_scale=v_scale,
@@ -654,6 +954,26 @@ def run_prefill(
         use_custom_mask=use_custom_mask,
         row_block=ROW_BLOCK, kv_block=KV_BLOCK, interpret=interpret,
     )
+    if not resolve_interpret(interpret):
+        # TPU production path: streaming kernel (grid per tile, chunks via
+        # manual DMA). The interpreter path keeps the BlockSpec kernel
+        # (fast to emulate and an independent reference implementation).
+        work_arrays = (
+            plan.work_q_blk, plan.work_kv_blk, plan.work_kv_len,
+            plan.work_qo_len, plan.work_q_pos,
+        )
+        out_p, lse_p = prefill_packed_stream(
+            qp, kp, vp, aux, mask_packed, work_arrays, **common
+        )
+    else:
+        plan_arrays = (
+            plan.item_w, plan.item_c, plan.item_first, plan.item_last,
+            plan.work_q_blk, plan.work_kv_blk, plan.work_kv_len,
+            plan.work_qo_len, plan.work_q_pos,
+        )
+        out_p, lse_p = prefill_packed(
+            qp, kp, vp, aux, mask_packed, plan_arrays, **common
+        )
 
     # unpack: [H_kv, Tq_pad*G, D] -> ragged [total_q, H_q, D]
     out = out_p.reshape(h_kv, plan.tq_pad, g, head_dim)
