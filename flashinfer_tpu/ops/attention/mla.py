@@ -290,3 +290,80 @@ class BatchMLAPagedAttentionWrapper:
         return o
 
     run_return_lse = functools.partialmethod(run, return_lse=True)
+
+
+class BatchDecodeMlaWithPagedKVCacheWrapper(BatchMLAPagedAttentionWrapper):
+    """Legacy MLA decode wrapper (reference decode.py:2346) — the older
+    argument order over the same kernel. plan(indptr, indices,
+    last_page_len, num_qo_heads, head_dim_ckv, page_size, ...)."""
+
+    def plan(  # type: ignore[override]
+        self,
+        indptr: Any,
+        indices: Any,
+        last_page_len: Any,
+        num_qo_heads: int,
+        head_dim_compressed_kv: int,
+        page_size: int,
+        causal: bool = False,
+        sm_scale: float | None = None,
+        window_left: int = -1,
+        logits_soft_cap: float | None = None,
+        q_data_type: Any = jnp.bfloat16,
+        kv_data_type: Any = None,
+        **_ignored,
+    ) -> None:
+        import math as _math
+
+        indptr_h = np.asarray(indptr, np.int32)
+        last_h = np.asarray(last_page_len, np.int32)
+        batch = len(indptr_h) - 1
+        pages = indptr_h[1:] - indptr_h[:-1]
+        kv_lens = np.where(
+            pages == 0, 0, np.maximum(pages - 1, 0) * page_size + last_h
+        ).astype(np.int32)
+        qo_indptr = np.arange(batch + 1, dtype=np.int32)
+        if sm_scale is None:
+            sm_scale = 1.0 / _math.sqrt(head_dim_compressed_kv + 64)
+        super().plan(
+            qo_indptr, indptr_h, np.asarray(indices, np.int32), kv_lens,
+            num_qo_heads, head_dim_compressed_kv, 64, page_size,
+            causal=causal, sm_scale=float(sm_scale),
+            q_data_type=q_data_type, kv_data_type=kv_data_type,
+        )
+
+
+def xqa_mla(
+    q: jax.Array,  # [B, beam, H, 576] (nope|pe concat) or split pair
+    kv_cache: jax.Array,  # [pages, page_size, 576]
+    page_table: jax.Array,
+    seq_lens: jax.Array,
+    output: Any = None,
+    workspace_buffer: Any = None,
+    *,
+    q_scale: float = 1.0,
+    kv_scale: Any = None,
+    sm_scale: float | None = None,
+    **_ignored,
+) -> jax.Array:
+    """XQA MLA decode (reference xqa.py:542) routed to the MLA kernel."""
+    del output, workspace_buffer
+    import math as _math
+
+    b, beam, h, d_total = q.shape
+    if beam != 1:
+        raise NotImplementedError("beam search MLA decode lands later")
+    d_ckv = d_total - 64
+    if sm_scale is None:
+        sm_scale = q_scale / _math.sqrt(d_total)
+    kvf = kv_cache
+    if kvf.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        kvf = kvf.astype(jnp.bfloat16)
+    o, _ = paged_mla_attention(
+        q[:, 0], kvf, page_table, seq_lens.astype(jnp.int32),
+        num_heads=h, q_len=1, head_dim_ckv=d_ckv, sm_scale=float(sm_scale),
+        causal=False,
+        ckv_scale=float(kv_scale) if kv_scale is not None else 1.0,
+        kpe_scale=float(kv_scale) if kv_scale is not None else 1.0,
+    )
+    return o[:, None]

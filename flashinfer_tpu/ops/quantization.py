@@ -202,6 +202,49 @@ def blockwise_scaled_quantize(
     return q, scale
 
 
+def block_scale_interleave(unswizzled_sf: jax.Array) -> jax.Array:
+    """Scale-factor layout shuffle (reference fp4_quantization.py:1155).
+
+    The reference swizzles FP4 block scales into the 128x4 tile layout the
+    SM100 tensor cores consume. TPU kernels read scales through lane-tiled
+    VMEM blocks, so the natural (linear) layout IS the fast layout — this
+    is the identity, kept so checkpoints/callers round-trip unchanged.
+    """
+    return unswizzled_sf
+
+
+nvfp4_block_scale_interleave = block_scale_interleave
+
+
+def shuffle_matrix_a(input_tensor: jax.Array, epilogue_tile_m: int
+                     ) -> jax.Array:
+    """Weight pre-shuffle for trtllm low-latency GEMM (reference
+    fp4_quantization.py:1273). TPU MXU consumes the natural row-major
+    layout — identity (no shuffled-weight kernel exists to feed)."""
+    del epilogue_tile_m
+    return input_tensor
+
+
+def shuffle_matrix_sf_a(input_tensor: jax.Array, epilogue_tile_m: int,
+                        num_elts_per_sf: int = 16) -> jax.Array:
+    """Scale-factor companion of :func:`shuffle_matrix_a` — identity on
+    TPU (reference fp4_quantization.py:1295)."""
+    del epilogue_tile_m, num_elts_per_sf
+    return input_tensor
+
+
+def scaled_fp4_grouped_quantize(
+    x: jax.Array,  # [T, K] grouped rows
+    group_sizes: jax.Array,  # [G]
+    global_scale: jax.Array | None = None,
+    sf_vec_size: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """Grouped NVFP4 quantization (reference fp4_quantization.py:1894):
+    per-16-element-block scales within each group's rows."""
+    del group_sizes  # row-blocked scales are group-agnostic on TPU
+    return fp4_quantize(x, global_scale=global_scale, sf_vec_size=sf_vec_size)
+
+
 def packbits(x: jax.Array, bitorder: str = "big") -> jax.Array:
     """Pack a bool vector into bytes (reference quantization/packbits.py;
     kernel quantization.cuh:120)."""

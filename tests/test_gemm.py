@@ -29,7 +29,11 @@ def test_mm_fp8_groupwise(rng, m, k, n):
         np.asarray(wq.astype(jnp.float32)).reshape(k // 128, 128, n // 128, 128)
         * np.asarray(w_s)[:, None, :, None]
     )
-    ref = adq.reshape(m, k) @ wdq.reshape(k, n)
+    # implementation contract: dequantized operands enter the MXU as bf16
+    # (TPU has no fp8 unit — same contract as grouped_mm_fp8 below)
+    adq = np.asarray(jnp.asarray(adq.reshape(m, k), jnp.bfloat16), np.float32)
+    wdq = np.asarray(jnp.asarray(wdq.reshape(k, n), jnp.bfloat16), np.float32)
+    ref = adq @ wdq
     rel = np.abs(np.asarray(out) - ref) / (np.abs(ref) + 1.0)
     assert rel.max() < 3e-2, rel.max()
 
