@@ -157,3 +157,108 @@ from .ops.attention.api_compat import (  # noqa: F401
 )
 from .autotuner import AutoTuner, TunableRunner, autotune  # noqa: F401
 from .api_logging import flashinfer_api  # noqa: F401
+from .ops.compat_ops import (  # noqa: F401
+    fused_add_rmsnorm_quant,
+    fused_dit_gate_residual_layernorm_gamma_beta,
+    fused_dit_gate_residual_layernorm_scale_shift,
+    fused_dit_residual_layernorm_scale_shift,
+    fused_kda_decode,
+    get_fp4_quantization_module,
+    is_gated_activation,
+    layernorm_quant,
+    mm_bf16_fp4,
+    mm_nvfp4_svdquant,
+    mxfp4_dequantize_host,
+    mxfp8_dequantize_host,
+    mxfp8_grouped_quantize,
+    next_positive_power_of_2,
+    nvfp4_attention_sm120_fwd,
+    nvfp4_attention_sm120_quantize_qkv,
+    nvfp4_batched_quantize,
+    nvfp4_kv_dequantize,
+    nvfp4_kv_dequantize_paged,
+    nvfp4_kv_quantize,
+    nvfp4_quantize_append_paged_kv_cache,
+    nvfp4_quantize_append_paged_kv_cache_with_slot_mapping,
+    nvfp4_quantize_paged_kv_cache,
+    nvfp4_quantize_smooth,
+    prepare_bf16_fp4_weights,
+    prepare_low_latency_gemm_weights,
+    reorder_rows_for_gated_act_gemm,
+    rmsnorm_fp4quant,
+    rmsnorm_quant,
+    silu_and_mul_nvfp4_quantize,
+    silu_and_mul_scaled_nvfp4_experts_quantize,
+    single_prefill_with_kv_cache_return_lse,
+    svdquant_linear,
+    tgv_gemm_sm100,
+    top_k_varlen,
+    trtllm_fmha_v2_prefill,
+    trtllm_fp4_block_scale_routed_moe,
+    trtllm_fp8_block_scale_routed_moe,
+    trtllm_fp8_per_tensor_scale_routed_moe,
+    trtllm_sage_attention_quantize,
+)
+from .ops.quantization import (  # noqa: F401
+    block_scale_interleave,
+    fp4_dequantize,
+    nvfp4_block_scale_interleave,
+    scaled_fp4_grouped_quantize,
+    shuffle_matrix_a,
+    shuffle_matrix_sf_a,
+)
+from .ops.moe import (  # noqa: F401
+    trtllm_bf16_routed_moe,
+    trtllm_fp4_block_scale_moe,
+    trtllm_mxint4_moe,
+)
+from .ops.small_moe import bgmv_moe, monomoe_forward  # noqa: F401
+from .ops.deep_gemm import (  # noqa: F401
+    fp8_gemm_nt,
+    m_grouped_fp8_gemm_nt_contiguous,
+    m_grouped_fp8_gemm_nt_masked,
+)
+from .ops.msa import (  # noqa: F401
+    msa_proxy_score,
+    msa_sparse_attention,
+    msa_sparse_decode_attention,
+    msa_topk_select,
+)
+from .ops.mhc import mhc_post, mhc_pre_big_fuse  # noqa: F401
+from .ops.moe_api import MoEConfig, QuantVariant, create_moe  # noqa: F401
+from .ops.attention.mla import (  # noqa: F401
+    BatchDecodeMlaWithPagedKVCacheWrapper,
+    xqa_mla,
+)
+from .ops.rope import (  # noqa: F401
+    mla_rope_quantize_fp8,
+    rope_quantize_fp8,
+    rope_quantize_fp8_append_paged_kv_cache,
+)
+from .ops.norm import (  # noqa: F401
+    fused_qk_rmsnorm_rope,
+    fused_rmsnorm_silu,
+    layernorm_scale_shift,
+    rmsnorm_fp8_quant,
+)
+from .ops.activation import silu_and_mul_fp8_quant  # noqa: F401
+from .page import (  # noqa: F401
+    block_sparse_indices_to_vector_sparse_offsets,
+)
+from . import fi_trace  # noqa: F401
+from .ops.moe_api import ActivationType  # noqa: F401
+from .ops.quantization import SfLayout, e2m1_and_ufp8sf_scale_to_float  # noqa: F401
+from .ops.gemm import bmm_mxfp8  # noqa: F401
+from .page import append_paged_mla_kv_cache  # noqa: F401
+from .ops.attention.cascade import (  # noqa: F401
+    BatchDecodeWithSharedPrefixPagedKVCacheWrapper,
+    BatchPrefillWithSharedPrefixPagedKVCacheWrapper,
+)
+from .ops.compat_ops import (  # noqa: F401
+    B12xMoEWrapper,
+    CuteDslMoEWrapper,
+    RecurrentKDAPrefillWorkspace,
+    add_rmsnorm_fp4quant,
+    b12x_fused_moe,
+    cute_dsl_fused_moe_nvfp4,
+)

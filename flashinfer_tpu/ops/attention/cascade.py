@@ -164,3 +164,116 @@ def batch_attention_with_shared_prefix_paged_kv_cache(
     v1, s1 = w.run(q, paged_kv_cache, return_lse=True)
     out, _ = merge_state(v0, s0, v1, s1)
     return out
+
+
+class BatchDecodeWithSharedPrefixPagedKVCacheWrapper:
+    """Shared-prefix batch decode (reference cascade.py:561): attention
+    over a common prefix (contiguous K/V) merged with per-request unique
+    paged KV via the LSE algebra. Superseded by
+    MultiLevelCascadeAttentionWrapper in the reference; kept for parity."""
+
+    def __init__(self, float_workspace_buffer=None, kv_layout: str = "NHD"):
+        from .decode import BatchDecodeWithPagedKVCacheWrapper
+
+        self._batch_decode = BatchDecodeWithPagedKVCacheWrapper(
+            float_workspace_buffer, kv_layout)
+        self._kv_layout = kv_layout
+
+    def plan(self, *args, **kwargs):
+        return self._batch_decode.plan(*args, **kwargs)
+
+    begin_forward = plan
+
+    def forward(self, q, k_shared, v_shared, unique_kv_cache, **kw):
+        import jax.numpy as jnp
+
+        from ...utils import merge_attention_states
+        from .decode import single_decode_with_kv_cache
+
+        o_unique, lse_unique = self._batch_decode.run(
+            q, unique_kv_cache, return_lse=True)
+        # shared prefix: same K/V for every request → batch as one prefill
+        # row per request over the shared rows
+        if self._kv_layout == "HND":
+            k_shared = jnp.swapaxes(k_shared, 0, 1)
+            v_shared = jnp.swapaxes(v_shared, 0, 1)
+        outs = []
+        lses = []
+        from .pallas_decode import paged_decode_attention
+        import numpy as np
+
+        s_len = k_shared.shape[0]
+        page = min(512, max(16, 1 << (s_len - 1).bit_length()))
+        pad = (-s_len) % page
+        kp = jnp.pad(k_shared, ((0, pad), (0, 0), (0, 0)))
+        vp = jnp.pad(v_shared, ((0, pad), (0, 0), (0, 0)))
+        np_ = (s_len + pad) // page
+        kc = kp.reshape(np_, page, *k_shared.shape[1:])
+        vc = vp.reshape(np_, page, *v_shared.shape[1:])
+        batch = q.shape[0]
+        table = jnp.broadcast_to(
+            jnp.arange(np_, dtype=jnp.int32)[None], (batch, np_))
+        lens = jnp.full((batch,), s_len, jnp.int32)
+        o_shared, lse_shared = paged_decode_attention(q, kc, vc, table, lens)
+        o, _ = merge_attention_states(
+            o_shared, lse_shared, o_unique, lse_unique)
+        return o.astype(q.dtype)
+
+    run = forward
+
+    def end_forward(self):
+        pass
+
+
+class BatchPrefillWithSharedPrefixPagedKVCacheWrapper:
+    """Shared-prefix batch prefill (reference cascade.py ~1006)."""
+
+    def __init__(self, float_workspace_buffer=None, kv_layout: str = "NHD"):
+        from .prefill import BatchPrefillWithPagedKVCacheWrapper
+
+        self._batch_prefill = BatchPrefillWithPagedKVCacheWrapper(
+            float_workspace_buffer, kv_layout)
+        self._kv_layout = kv_layout
+        self._qo_indptr = None
+
+    def plan(self, qo_indptr, *args, **kwargs):
+        import numpy as np
+
+        self._qo_indptr = np.asarray(qo_indptr, np.int64)
+        return self._batch_prefill.plan(qo_indptr, *args, **kwargs)
+
+    begin_forward = plan
+
+    def forward(self, q, k_shared, v_shared, unique_kv_cache,
+                causal: bool = False, **kw):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ...utils import merge_attention_states
+        from .pallas_prefill import build_prefill_plan, run_prefill
+
+        if self._kv_layout == "HND":
+            k_shared = jnp.swapaxes(k_shared, 0, 1)
+            v_shared = jnp.swapaxes(v_shared, 0, 1)
+        o_unique, lse_unique = self._batch_prefill.run(
+            q, unique_kv_cache, return_lse=True)
+        # shared level: every request attends the full shared prefix
+        # (non-causal by definition — queries come after the prefix)
+        s_len = k_shared.shape[0]
+        hq = q.shape[1]
+        hkv = k_shared.shape[1]
+        qo = self._qo_indptr
+        kv_lens = np.full(len(qo) - 1, s_len, np.int64)
+        plan = build_prefill_plan(
+            qo, kv_lens, hq, hkv, causal=False,
+            kv_row_starts=np.zeros(len(qo) - 1, np.int64))
+        o_shared, lse_shared = run_prefill(
+            q, k_shared, v_shared, plan, causal=False)
+        o, _ = merge_attention_states(
+            o_shared, lse_shared, o_unique, lse_unique)
+        return o.astype(q.dtype)
+
+    run = forward
+
+    def end_forward(self):
+        pass

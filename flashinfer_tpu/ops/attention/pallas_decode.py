@@ -399,7 +399,9 @@ def paged_decode_attention(
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(head_dim)
 
-    chunk_pages = max(1, 512 // page_size)
+    # cap: 4 slots x chunk_pages x 2 DMA semaphores must fit the ~2KB
+    # sflag space (<= 32 pages/chunk keeps it at 256)
+    chunk_pages = max(1, min(512 // page_size, 32))
     max_pages = page_table.shape[1]
     pad_pages = (-max_pages) % chunk_pages
     if pad_pages:
@@ -507,7 +509,9 @@ def paged_decode_attention_combined(
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(head_dim)
 
-    chunk_pages = max(1, 512 // page_size)
+    # cap: 4 slots x chunk_pages x 2 DMA semaphores must fit the ~2KB
+    # sflag space (<= 32 pages/chunk keeps it at 256)
+    chunk_pages = max(1, min(512 // page_size, 32))
     max_pages = page_table.shape[1]
     pad_pages = (-max_pages) % chunk_pages
     if pad_pages:

@@ -233,6 +233,29 @@ def mm_mxfp8(
     ).astype(out_dtype)
 
 
+def bmm_mxfp8(
+    A: jax.Array,  # [B, M, K] fp8
+    B: jax.Array,  # [B, K, N] fp8
+    A_scale: jax.Array,  # [B, M, K//32]
+    B_scale: jax.Array,  # [B, K//32, N]
+    dtype=jnp.bfloat16,
+    out: Any = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """Batched MXFP8 GEMM (reference gemm bmm_mxfp8)."""
+    del out, backend
+    b, m, k = A.shape
+    n = B.shape[-1]
+    adq = (A.astype(jnp.float32).reshape(b, m, k // 32, 32)
+           * jnp.asarray(A_scale, jnp.float32)[..., None]).reshape(b, m, k)
+    bdq = (B.astype(jnp.float32).reshape(b, k // 32, 32, n)
+           * jnp.asarray(B_scale, jnp.float32)[:, :, None, :]).reshape(b, k, n)
+    return jnp.einsum(
+        "bmk,bkn->bmn", adq.astype(jnp.bfloat16), bdq.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+
+
 class SegmentGEMMWrapper:
     """Segment GEMM for LoRA / per-request experts (reference
     flashinfer SegmentGEMMWrapper, gemm/__init__.py:110).

@@ -13,6 +13,8 @@ global f32 scale, MXFP4 = 32 elements with power-of-two (e8m0) scales.
 
 from __future__ import annotations
 
+import enum
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -200,6 +202,27 @@ def blockwise_scaled_quantize(
     scale = jnp.maximum(amax, 1e-12) / fp8_max
     q = (wf / scale[:, None, :, None]).astype(dtype).reshape(k, n)
     return q, scale
+
+
+class SfLayout(enum.Enum):
+    """FP4 scale-factor layouts (reference SfLayout enum): the reference
+    distinguishes 128x4 / 8x4 swizzles vs linear; TPU consumes linear."""
+
+    layout_128x4 = 0
+    layout_8x4 = 1
+    layout_linear = 2
+
+
+def e2m1_and_ufp8sf_scale_to_float(
+    packed: jax.Array, scales: jax.Array, global_scale=None,
+    sf_vec_size: int = 16, dtype=jnp.float32,
+) -> jax.Array:
+    """Host-side FP4 dequant (reference e2m1_and_ufp8sf_scale_to_float):
+    packed e2m1 codes x fp8-e4m3 scale factors (x optional global scale)."""
+    out = fp4_dequantize(packed, scales, sf_vec_size=sf_vec_size, dtype=dtype)
+    if global_scale is not None:
+        out = (out.astype(jnp.float32) * global_scale).astype(dtype)
+    return out
 
 
 def block_scale_interleave(unswizzled_sf: jax.Array) -> jax.Array:

@@ -121,3 +121,29 @@ def block_sparse_indices_to_vector_sparse_offsets(
     in_blk = tok_in_row % block_size
     page = block_sparse_indices[block_sparse_indptr[row] + blk]
     return (page * stride_block + in_blk * stride_n).astype(jnp.int32)
+
+
+def append_paged_mla_kv_cache(
+    append_ckv: jax.Array,  # [nnz, head_dim_ckv]
+    append_kpe: jax.Array,  # [nnz, head_dim_kpe]
+    batch_indices: jax.Array,
+    positions: jax.Array,
+    ckv_cache: jax.Array,  # [pages, page_size, head_dim_ckv]
+    kpe_cache: jax.Array,  # [pages, page_size, head_dim_kpe]
+    kv_indices: jax.Array,
+    kv_indptr: jax.Array,
+    kv_last_page_len: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Append MLA compressed-KV rows into the paged caches (reference
+    page.py append_paged_mla_kv_cache; kernel page.cuh:492). Returns the
+    updated (ckv_cache, kpe_cache)."""
+    del kv_last_page_len
+    page_size = ckv_cache.shape[1]
+    page_in_req = positions // page_size
+    entry = kv_indices[kv_indptr[batch_indices] + page_in_req]
+    offset = positions % page_size
+    ckv_cache = ckv_cache.at[entry, offset].set(
+        append_ckv.astype(ckv_cache.dtype))
+    kpe_cache = kpe_cache.at[entry, offset].set(
+        append_kpe.astype(kpe_cache.dtype))
+    return ckv_cache, kpe_cache
