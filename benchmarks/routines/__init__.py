@@ -1,0 +1,13 @@
+"""Benchmark routine registry (reference benchmarks/routines/)."""
+
+from .attention import bench_decode_attention, bench_prefill_attention
+from .gemm import bench_mm_bf16, bench_mm_fp8_groupwise
+from .moe import bench_fused_moe
+
+REGISTRY = {
+    "decode_attention": bench_decode_attention,
+    "prefill_attention": bench_prefill_attention,
+    "mm_bf16": bench_mm_bf16,
+    "mm_fp8_groupwise": bench_mm_fp8_groupwise,
+    "fused_moe": bench_fused_moe,
+}

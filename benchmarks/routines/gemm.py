@@ -1,0 +1,48 @@
+"""GEMM benchmark routines (reference benchmarks/routines/gemm.py)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from flashinfer_tpu.testing.utils import bench_loop
+
+V5E_BF16_TFLOPS = 197.0
+
+
+def bench_mm_bf16(m: int = 4096, k: int = 4096, n: int = 4096) -> dict:
+    """bf16 GEMM TFLOP/s."""
+    from flashinfer_tpu.ops.gemm import mm_bf16
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
+    dt = bench_loop(lambda x, b: mm_bf16(x, b).astype(x.dtype), a, b,
+                    iters=16)
+    tf = 2 * m * k * n / dt / 1e12
+    return {"routine": "mm_bf16", "ms": round(dt * 1e3, 3),
+            "metric": "TFLOP/s", "value": round(tf, 1),
+            "vs_roofline": round(tf / V5E_BF16_TFLOPS, 4)}
+
+
+def bench_mm_fp8_groupwise(m: int = 4096, k: int = 4096, n: int = 4096
+                           ) -> dict:
+    """FP8 groupwise GEMM (DeepGEMM contract) TFLOP/s."""
+    from flashinfer_tpu.ops.gemm import mm_fp8
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((m, k)), jnp.float32).astype(
+        jnp.float8_e4m3fn)
+    b = jnp.asarray(rng.standard_normal((k, n)), jnp.float32).astype(
+        jnp.float8_e4m3fn)
+    a_s = jnp.ones((m, k // 128), jnp.float32)
+    b_s = jnp.ones((k // 128, n // 128), jnp.float32)
+
+    def step(x, b, a_s, b_s):
+        return mm_fp8(x, b, a_s, b_s).astype(jnp.float8_e4m3fn)
+
+    dt = bench_loop(step, a, b, a_s, b_s, iters=16)
+    tf = 2 * m * k * n / dt / 1e12
+    return {"routine": "mm_fp8_groupwise", "ms": round(dt * 1e3, 3),
+            "metric": "TFLOP/s", "value": round(tf, 1),
+            "vs_roofline": round(tf / V5E_BF16_TFLOPS, 4)}

@@ -110,10 +110,14 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> dict:
 
 def init_kv_cache(
     cfg: LlamaConfig, num_pages: int, page_size: int, dtype=None
-) -> tuple[jax.Array, jax.Array]:
-    shape = (cfg.num_layers, num_pages, page_size, cfg.num_kv_heads, cfg.head_dim)
+) -> jax.Array:
+    """Combined per-layer paged cache [L, pages, 2, page_size, Hkv, D] —
+    the 5-D reference layout (decode.py:1841) with a layer axis; k and v
+    of a page share one DMA descriptor in the decode kernel."""
+    shape = (cfg.num_layers, num_pages, 2, page_size, cfg.num_kv_heads,
+             cfg.head_dim)
     dtype = dtype or cfg.dtype
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    return jnp.zeros(shape, dtype)
 
 
 def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
@@ -167,28 +171,60 @@ def _layer_keys(cfg: LlamaConfig) -> tuple[str, ...]:
     return base + ("w_gate", "w_up", "w2")
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "interpret"),
+         donate_argnums=(2,))
 def decode_step(
     params: dict,
     cfg: LlamaConfig,
-    kv_caches: tuple[jax.Array, jax.Array],  # [L, pages, ps, Hkv, D] each
+    kv_caches: jax.Array,  # [L, pages, 2, ps, Hkv, D] — DONATED
     token_ids: jax.Array,  # [B]
     positions: jax.Array,  # [B] position of the new token (== prior kv_len)
     page_table: jax.Array,  # [B, P]
     kv_lens: jax.Array,  # [B] kv length INCLUDING the new token
     *,
     interpret: bool | None = None,
-) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
-    """One decode step for a batch; returns (logits [B, V], updated caches)."""
+) -> tuple[jax.Array, jax.Array]:
+    """One decode step for a batch; returns (logits [B, V], updated cache).
+
+    Layers are python-unrolled with the fused append+attention kernel on a
+    flat [L*pages] combined cache: the new token's (k, v) is injected into
+    the softmax and its cache row DMA-written in place — no scatter pass
+    (a scatter followed by a kernel read forces XLA to copy the multi-GB
+    cache; measured 2x end-to-end decode slowdown).
+    """
+    from ..ops.attention.pallas_decode import _combined_call
+
     x = params["embed"][token_ids].astype(cfg.dtype)  # [B, H]
     d, hq, hkv = cfg.head_dim, cfg.num_qo_heads, cfg.num_kv_heads
     batch = token_ids.shape[0]
+    group = hq // hkv
+    g8 = max(8, ((group + 7) // 8) * 8)
+    rows = hkv * g8
+    num_layers, num_pages = kv_caches.shape[0], kv_caches.shape[1]
+    page_size = kv_caches.shape[3]
+    # flat plane layout [L*pages, 2, ps, Hkv*D]; layers are python-unrolled
+    # (measured: scan xs/ys restacks the cache, scan-carry + scatter copies
+    # it, alias-passthrough through the kernel copies BOTH alias ends —
+    # plain unrolled scatter on donated buffers is the fastest structure)
+    kv_flat = kv_caches.reshape(
+        num_layers * num_pages, 2, page_size, hkv * d
+    )
+    chunk_pages = max(1, min(512 // page_size, 32))
+    max_pages = page_table.shape[1]
+    pad_pages = (-max_pages) % chunk_pages
+    table0 = (
+        jnp.pad(page_table, ((0, 0), (0, pad_pages))) if pad_pages
+        else page_table
+    )
+    chunk_pages = min(chunk_pages, table0.shape[1])
+    sinks_arr = jnp.full((rows, 128), -jnp.inf, jnp.float32)
+    sm_scale = 1.0 / math.sqrt(d)
+    positions = positions.astype(jnp.int32)
+    b_idx = jnp.arange(batch)
+    off = positions % page_size
 
-    layer_params = {k: params[k] for k in _layer_keys(cfg)}
-    k_all, v_all = kv_caches
-
-    def layer(x, xs):
-        lp, k_c, v_c = xs
+    for l in range(cfg.num_layers):
+        lp = {k: params[k][l] for k in _layer_keys(cfg)}
         h_in = x
         x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
         q = (x @ lp["wq"]).reshape(batch, hq, d)
@@ -196,20 +232,33 @@ def decode_step(
         v = (x @ lp["wv"]).reshape(batch, hkv, d)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
-        k_c, v_c = _append_decode_kv(k_c, v_c, k, v, page_table, positions)
-        attn, _ = paged_decode_attention(
-            q, k_c, v_c, page_table, kv_lens, interpret=interpret
+
+        entry = page_table[b_idx, positions // page_size] + l * num_pages
+        kv_flat = kv_flat.at[entry, 0, off].set(
+            k.reshape(batch, hkv * d).astype(kv_flat.dtype))
+        kv_flat = kv_flat.at[entry, 1, off].set(
+            v.reshape(batch, hkv * d).astype(kv_flat.dtype))
+
+        q4 = q.reshape(batch, hkv, group, d)
+        if g8 != group:
+            q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, g8 - group), (0, 0)))
+        q3 = q4.reshape(batch, rows, d)
+        attn, _ = _combined_call(
+            q3, kv_flat, table0 + l * num_pages, kv_lens, sinks_arr,
+            batch=batch, rows=rows, g8=g8, group=group,
+            num_q_heads=hq, num_kv_heads=hkv, head_dim=d,
+            page_size=page_size, chunk_pages=chunk_pages,
+            sm_scale=sm_scale, logits_soft_cap=0.0, window_left=-1,
+            k_scale=1.0, v_scale=1.0, use_sinks=False, interpret=interpret,
         )
         x = h_in + (attn.reshape(batch, hq * d) @ lp["wo"])
         h_in = x
         x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
         x = h_in + _mlp(cfg, lp, x).astype(x.dtype)
-        return x, (k_c, v_c)
 
-    x, (k_all, v_all) = jax.lax.scan(layer, x, (layer_params, k_all, v_all))
     x = rmsnorm(x, params["final_norm"], eps=cfg.rms_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
-    return logits, (k_all, v_all)
+    return logits, kv_flat.reshape(kv_caches.shape)
 
 
 def prefill(
@@ -319,10 +368,9 @@ def make_sharded_decode_fn(
         d = cfg.head_dim
         hq, hkv = cfg_local.num_qo_heads, cfg_local.num_kv_heads
         layer_params = {k: params[k] for k in _layer_keys(cfg)}
-        k_all, v_all = kv_caches
 
         def layer(x, xs):
-            lp, k_c, v_c = xs
+            lp, kv_c = xs  # kv_c: [pages, 2, ps, hkv_local, d]
             h_in = x
             x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
             q = (x @ lp["wq"]).reshape(batch, hq, d)
@@ -330,7 +378,9 @@ def make_sharded_decode_fn(
             v = (x @ lp["wv"]).reshape(batch, hkv, d)
             q = _rope(q, positions, cfg.rope_theta)
             k = _rope(k, positions, cfg.rope_theta)
-            k_c, v_c = _append_decode_kv(k_c, v_c, k, v, page_table, positions)
+            k_c, v_c = _append_decode_kv(
+                kv_c[:, 0], kv_c[:, 1], k, v, page_table, positions
+            )
             attn, _ = paged_decode_attention(
                 q, k_c, v_c, page_table, kv_lens, interpret=interpret
             )
@@ -340,27 +390,27 @@ def make_sharded_decode_fn(
             x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
             y = _mlp(cfg_local, lp, x).astype(x.dtype)
             x = h_in + jax.lax.psum(y, tp)
-            return x, (k_c, v_c)
+            return x, jnp.stack([k_c, v_c], axis=1)
 
-        x, (k_all, v_all) = jax.lax.scan(layer, x, (layer_params, k_all, v_all))
+        x, kv_all = jax.lax.scan(layer, x, (layer_params, kv_caches))
         x = rmsnorm(x, params["final_norm"], eps=cfg.rms_eps)
         logits_loc = (x @ params["lm_head"]).astype(jnp.float32)
         logits = jax.lax.all_gather(logits_loc, tp, axis=1, tiled=True)
-        return logits, (k_all, v_all)
+        return logits, kv_all
 
     pspecs = param_specs(cfg, tp=tp)
-    # page pool shards over dp (each dp group owns its pages; page_table
-    # holds group-local page ids), kv heads over tp
-    cache_spec = P(None, dp, None, tp, None)
+    # combined cache [L, pages, 2, ps, Hkv, D]: page pool shards over dp
+    # (group-local page ids), kv heads over tp
+    cache_spec = P(None, dp, None, None, tp, None)
     in_specs = (
         pspecs,
-        (cache_spec, cache_spec),
+        cache_spec,
         P(dp),  # tokens
         P(dp),  # positions
         P(dp, None),  # page_table
         P(dp),  # kv_lens
     )
-    out_specs = (P(dp, None), (cache_spec, cache_spec))
+    out_specs = (P(dp, None), cache_spec)
     fn = shard_map(
         local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
@@ -419,9 +469,9 @@ def make_pp_decode_fn(
         perm = [(i, (i + 1) % pp_size) for i in range(pp_size)]
         layer_params = {k: params[k] for k in _layer_keys(cfg)}
 
-        def run_stage(x, k_all, v_all):
+        def run_stage(x, kv_all):
             def layer(x, xs):
-                lp, k_c, v_c = xs
+                lp, kv_c = xs  # [pages, 2, ps, hkv_local, d]
                 h_in = x
                 x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
                 q = (x @ lp["wq"]).reshape(batch, hq, d)
@@ -430,7 +480,7 @@ def make_pp_decode_fn(
                 q = _rope(q, positions, cfg.rope_theta)
                 k = _rope(k, positions, cfg.rope_theta)
                 k_c, v_c = _append_decode_kv(
-                    k_c, v_c, k, v, page_table, positions
+                    kv_c[:, 0], kv_c[:, 1], k, v, page_table, positions
                 )
                 attn, _ = paged_decode_attention(
                     q, k_c, v_c, page_table, kv_lens, interpret=interpret
@@ -441,24 +491,23 @@ def make_pp_decode_fn(
                 x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
                 y = _mlp(cfg_local, lp, x).astype(x.dtype)
                 x = h_in + jax.lax.psum(y, tp)
-                return x, (k_c, v_c)
+                return x, jnp.stack([k_c, v_c], axis=1)
 
-            return jax.lax.scan(layer, x, (layer_params, k_all, v_all))
+            return jax.lax.scan(layer, x, (layer_params, kv_all))
 
         x0 = params["embed"][token_ids].astype(cfg.dtype)
-        k_all, v_all = kv_caches
+        kv_all = kv_caches
 
         def pp_step(carry, step_idx):
-            x, k_all, v_all = carry
-            y, (k_new, v_new) = run_stage(x, k_all, v_all)
+            x, kv_all = carry
+            y, kv_new = run_stage(x, kv_all)
             active = step_idx == my_stage  # this rank's turn in the pipe
-            k_all = jnp.where(active, k_new, k_all)
-            v_all = jnp.where(active, v_new, v_all)
+            kv_all = jnp.where(active, kv_new, kv_all)
             y = jax.lax.ppermute(y, pp, perm)
-            return (y, k_all, v_all), None
+            return (y, kv_all), None
 
-        (x, k_all, v_all), _ = jax.lax.scan(
-            pp_step, (x0, k_all, v_all), jnp.arange(pp_size), length=pp_size
+        (x, kv_all), _ = jax.lax.scan(
+            pp_step, (x0, kv_all), jnp.arange(pp_size), length=pp_size
         )
         # after pp_size rotations the fully-processed activation is back on
         # stage 0 — broadcast it to all ranks
@@ -468,7 +517,7 @@ def make_pp_decode_fn(
         x = rmsnorm(x, params["final_norm"], eps=cfg.rms_eps)
         logits_loc = (x @ params["lm_head"]).astype(jnp.float32)
         logits = jax.lax.all_gather(logits_loc, tp, axis=1, tiled=True)
-        return logits, (k_all, v_all)
+        return logits, kv_all
 
     # per-layer params shard their leading (layer) dim over pp
     pspecs = {}
@@ -477,9 +526,9 @@ def make_pp_decode_fn(
             pspecs[k] = base
         else:
             pspecs[k] = P(pp, *tuple(base)[1:])
-    cache_spec = P(pp, None, None, tp, None)
-    in_specs = (pspecs, (cache_spec, cache_spec), P(), P(), P(None, None), P())
-    out_specs = (P(None, None), (cache_spec, cache_spec))
+    cache_spec = P(pp, None, None, None, tp, None)
+    in_specs = (pspecs, cache_spec, P(), P(), P(None, None), P())
+    out_specs = (P(None, None), cache_spec)
     fn = shard_map(local_step, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_vma=False)
     return jax.jit(fn), in_specs, out_specs

@@ -161,22 +161,25 @@ def _decode_kernel_v2(
     # scalar prefetch
     page_table_ref,  # [B, max_pages] i32 (SMEM)
     kv_lens_ref,  # [B] i32 (SMEM)
+    positions_ref,  # [B] i32 (SMEM): new-token position (fused append)
     # inputs
     q_ref,  # [1, Hkv*G8, D] VMEM (rows grouped per kv head)
-    k_hbm_ref,  # [pages, ps, Hkv*D] ANY (HBM)
+    k_hbm_ref,  # separate [pages, ps*Hkv*D]; combined [pages, 2, ps*Hkv*D] (ANY)
     v_hbm_ref,
     sinks_ref,  # [Hkv*G8, 128] VMEM (-inf when unused)
+    knew_ref,  # [1, 1, Hkv*D] VMEM: the new token's k row
+    vnew_ref,  # [1, 1, Hkv*D] VMEM: the new token's v row
     # outputs
     o_ref,  # [1, Hkv*G8, D]
     lse_ref,  # [1, Hkv*G8, 128]
-    # scratch (3 slots: 0/1 alternate for chunks >= 1, slot 2 is chunk 0 —
-    # filled by the PREVIOUS grid step's cross-request prefetch, so the
-    # first chunk's DMA latency is hidden under the previous request's
-    # compute)
-    k_buf,  # separate: [4, CP, ps, Hkv*D]; combined: [4, CP, 2, ps, Hkv*D]
-    v_buf,  # separate: like k_buf; combined: [1] dummy
-    sem,  # DMA semaphores [4, CP, 2]
-    *,
+    # then (fused_append only) the aliased cache output ref(s) — unused in
+    # the body, the alias makes the input hbm ref THE output buffer —
+    # followed by scratch (4 slots: 2/3 = chunk 0, parity-alternating):
+    #   k_buf  separate: [4, CP, ps, Hkv*D]; combined: [4, CP, 2, ps, Hkv*D]
+    #   v_buf  separate: like k_buf; combined: [1] dummy
+    #   sem    DMA semaphores [4, CP, 2]
+    #   append_sem  DMA semaphores [2] (fused-append row writes)
+    *rest,
     num_kv_heads: int,
     head_dim: int,
     page_size: int,
@@ -190,6 +193,8 @@ def _decode_kernel_v2(
     use_sinks: bool,
     combined: bool = False,
 ):
+    # optional aliased cache-output ref precedes the 4 scratch entries
+    k_buf, v_buf, sem, append_sem = rest[-4:]
     kv_buf = k_buf  # alias: in combined mode k_buf holds [.., 2, ps, HkvD]
     b = pl.program_id(0)
     num_b = pl.num_programs(0)
@@ -415,8 +420,8 @@ def paged_decode_attention(
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, g8 - group), (0, 0)))
     q3 = q4.reshape(batch, rows, head_dim)
 
-    k2 = k_cache.reshape(num_pages, page_size, num_kv_heads * head_dim)
-    v2 = v_cache.reshape(num_pages, page_size, num_kv_heads * head_dim)
+    k2 = k_cache.reshape(num_pages, page_size * num_kv_heads * head_dim)
+    v2 = v_cache.reshape(num_pages, page_size * num_kv_heads * head_dim)
 
     use_sinks = sinks is not None
     if use_sinks:
@@ -434,29 +439,36 @@ def paged_decode_attention(
         window_left=int(window_left), k_scale=float(k_scale),
         v_scale=float(v_scale), use_sinks=use_sinks,
     )
+    positions_dummy = jnp.zeros((batch,), jnp.int32)
+    knew_dummy = jnp.zeros((1, 1, num_kv_heads * head_dim), k_cache.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(batch,),
         in_specs=[
-            pl.BlockSpec((1, rows, head_dim), lambda b, pt, kl: (b, 0, 0)),
+            pl.BlockSpec((1, rows, head_dim), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((rows, 128), lambda b, pt, kl: (0, 0)),
+            pl.BlockSpec((rows, 128), lambda b, *_: (0, 0)),
+            pl.BlockSpec((1, 1, num_kv_heads * head_dim),
+                         lambda b, *_: (0, 0, 0)),
+            pl.BlockSpec((1, 1, num_kv_heads * head_dim),
+                         lambda b, *_: (0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, rows, head_dim), lambda b, pt, kl: (b, 0, 0)),
-            pl.BlockSpec((1, rows, 128), lambda b, pt, kl: (b, 0, 0)),
+            pl.BlockSpec((1, rows, head_dim), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, rows, 128), lambda b, *_: (b, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM(
-                (4, chunk_pages, page_size, num_kv_heads * head_dim),
+                (4, chunk_pages, page_size * num_kv_heads * head_dim),
                 k_cache.dtype,
             ),
             pltpu.VMEM(
-                (4, chunk_pages, page_size, num_kv_heads * head_dim),
+                (4, chunk_pages, page_size * num_kv_heads * head_dim),
                 v_cache.dtype,
             ),
             pltpu.SemaphoreType.DMA((4, chunk_pages, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out, lse = pl.pallas_call(
@@ -467,7 +479,8 @@ def paged_decode_attention(
             jax.ShapeDtypeStruct((batch, rows, 128), jnp.float32),
         ],
         interpret=resolve_interpret(interpret),
-    )(page_table, kv_lens, q3, k2, v2, sinks_arr)
+    )(page_table, kv_lens, positions_dummy, q3, k2, v2, sinks_arr,
+      knew_dummy, knew_dummy)
     out = out.reshape(batch, num_kv_heads, g8, head_dim)[:, :, :group]
     out = out.reshape(batch, num_q_heads, head_dim)
     lse_out = lse[:, :, 0].reshape(batch, num_kv_heads, g8)[:, :, :group]
@@ -533,50 +546,390 @@ def paged_decode_attention_combined(
     else:
         sinks_arr = jnp.full((rows, 128), -jnp.inf, jnp.float32)
 
+    return _combined_call(
+        q3, kv2, page_table, kv_lens, sinks_arr,
+        batch=batch, rows=rows, g8=g8, group=group,
+        num_q_heads=num_q_heads, num_kv_heads=num_kv_heads,
+        head_dim=head_dim, page_size=page_size, chunk_pages=chunk_pages,
+        sm_scale=float(sm_scale), logits_soft_cap=float(logits_soft_cap),
+        window_left=int(window_left), k_scale=float(k_scale),
+        v_scale=float(v_scale), use_sinks=use_sinks, interpret=interpret,
+    )
+
+
+def _combined_call(
+    q3, kv2, page_table, kv_lens, sinks_arr, *, batch, rows, g8, group,
+    num_q_heads, num_kv_heads, head_dim, page_size, chunk_pages, sm_scale,
+    logits_soft_cap, window_left, k_scale, v_scale, use_sinks, interpret,
+    alias_cache: bool = False,
+):
     kernel = functools.partial(
         _decode_kernel_v2,
         num_kv_heads=num_kv_heads, head_dim=head_dim, page_size=page_size,
         chunk_pages=chunk_pages, g8=g8,
-        sm_scale=float(sm_scale), logits_soft_cap=float(logits_soft_cap),
-        window_left=int(window_left), k_scale=float(k_scale),
-        v_scale=float(v_scale), use_sinks=use_sinks, combined=True,
+        sm_scale=sm_scale, logits_soft_cap=logits_soft_cap,
+        window_left=window_left, k_scale=k_scale, v_scale=v_scale,
+        use_sinks=use_sinks, combined=True,
     )
+    positions = jnp.zeros((batch,), jnp.int32)
+    knew = jnp.zeros((1, 1, num_kv_heads * head_dim), kv2.dtype)
+    knew_spec = pl.BlockSpec((1, 1, num_kv_heads * head_dim),
+                             lambda b, *_: (0, 0, 0))
+    out_specs = [
+        pl.BlockSpec((1, rows, head_dim), lambda b, *_: (b, 0, 0)),
+        pl.BlockSpec((1, rows, 128), lambda b, *_: (b, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, rows, head_dim), q3.dtype),
+        jax.ShapeDtypeStruct((batch, rows, 128), jnp.float32),
+    ]
+    kwargs = {}
+    if alias_cache:
+        # pass the (unmodified) cache through as an aliased output: gives
+        # XLA a linear ownership chain so the caller's preceding scatter
+        # updates the cache IN PLACE (a scatter whose result feeds a
+        # custom-call without aliasing forces a copy of the whole cache)
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(jax.ShapeDtypeStruct(kv2.shape, kv2.dtype))
+        kwargs["input_output_aliases"] = {4: 2}
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(batch,),
         in_specs=[
-            pl.BlockSpec((1, rows, head_dim), lambda b, pt, kl: (b, 0, 0)),
+            pl.BlockSpec((1, rows, head_dim), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),  # unused dummy (= kv)
-            pl.BlockSpec((rows, 128), lambda b, pt, kl: (0, 0)),
+            pl.BlockSpec((rows, 128), lambda b, *_: (0, 0)),
+            knew_spec,
+            knew_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((1, rows, head_dim), lambda b, pt, kl: (b, 0, 0)),
-            pl.BlockSpec((1, rows, 128), lambda b, pt, kl: (b, 0, 0)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM(
                 (4, chunk_pages, 2, page_size, num_kv_heads * head_dim),
-                kv_cache.dtype,
+                kv2.dtype,
             ),
             pltpu.VMEM((1,), jnp.float32),  # dummy v_buf
             pltpu.SemaphoreType.DMA((4, chunk_pages, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out, lse = pl.pallas_call(
+    results = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=resolve_interpret(interpret),
+        **kwargs,
+    )(page_table, kv_lens, positions, q3, kv2, kv2, sinks_arr, knew, knew)
+    out, lse = results[0], results[1]
+    out = out.reshape(batch, num_kv_heads, g8, head_dim)[:, :, :group]
+    out = out.reshape(batch, num_q_heads, head_dim)
+    lse_out = lse[:, :, 0].reshape(batch, num_kv_heads, g8)[:, :, :group]
+    lse_out = lse_out.reshape(batch, num_q_heads)
+    if alias_cache:
+        return out, lse_out, results[2]
+    return out, lse_out
+
+
+def _decode_kernel_fused(
+    # scalar prefetch
+    page_table_ref,  # [B, max_pages] i32 (SMEM)
+    kv_lens_ref,  # [B] i32, INCLUDING the new token
+    positions_ref,  # [B] i32: new-token position
+    # inputs
+    q_ref,  # [1, Hkv*G8, D] VMEM, pre-scaled rows grouped per kv head
+    kv_hbm_ref,  # [pages, ps, 2*Hkv, D] ANY — TOKEN-INTERLEAVED (k|v per token)
+    kvnew_ref,  # [1, 2*Hkv, D] VMEM: new token's (k | v) rows
+    # outputs
+    o_ref,  # [1, Hkv*G8, D]
+    lse_ref,  # [1, Hkv*G8, 128]
+    kv_out_ref,  # aliased = kv_hbm_ref (in-place row write target)
+    # scratch
+    kv_buf,  # [4, CP, ps, 2*Hkv, D]
+    sem,  # DMA [4, CP]
+    append_sem,  # DMA [1]
+    *,
+    num_kv_heads: int,
+    head_dim: int,
+    page_size: int,
+    chunk_pages: int,
+    g8: int,
+    sm_scale: float,
+    logits_soft_cap: float,
+    window_left: int,
+    use_sinks: bool = False,
+):
+    """Fused append + decode attention over a token-interleaved combined
+    cache (the reference's fused append/attention serving pattern,
+    page.cuh:299 + decode run). Layout [pages, ps, 2, Hkv, D]: a token's k
+    and v are lane-adjacent, so appending a token is ONE lane-aligned DMA
+    and the paged sweep reads them as alternating columns — k columns are
+    masked into the softmax, and the P·V product reuses the same
+    interleaved tile via a one-lane roll of P (p at k-column 2t shifts to
+    v-column 2t+1). No sublane slicing anywhere, no XLA scatter, no
+    copy-on-write of the cache."""
+    b = pl.program_id(0)
+    num_b = pl.num_programs(0)
+    kv_len = kv_lens_ref[b] - 1  # cached tokens (new token injected below)
+    max_pages = page_table_ref.shape[1]
+    d = head_dim
+    rows = num_kv_heads * g8
+    row2 = 2 * num_kv_heads * d  # lanes per token (k | v)
+    chunk_tokens = chunk_pages * page_size
+    ct2 = 2 * chunk_tokens  # interleaved columns per chunk
+
+    parity = jax.lax.rem(b, 2)
+
+    def slot_of(chunk):
+        return jnp.where(chunk == 0, 2 + parity, jax.lax.rem(chunk, 2))
+
+    def issue(breq, chunk, slot):
+        for j in range(chunk_pages):
+            page = page_table_ref[breq, chunk * chunk_pages + j]
+            pltpu.make_async_copy(
+                kv_hbm_ref.at[page], kv_buf.at[slot, j], sem.at[slot, j]
+            ).start()
+
+    def wait(slot):
+        for j in range(chunk_pages):
+            pltpu.make_async_copy(
+                kv_hbm_ref.at[0], kv_buf.at[slot, j], sem.at[slot, j]
+            ).wait()
+
+    valid_chunks = jnp.maximum(
+        jax.lax.div(kv_len + chunk_tokens - 1, chunk_tokens), 1
+    )
+    valid_chunks = jnp.minimum(valid_chunks, max_pages // chunk_pages)
+    valid_chunks = jnp.where(kv_len > 0, valid_chunks, 0)
+
+    @pl.when(jnp.logical_and(b == 0, valid_chunks > 0))
+    def _bootstrap():
+        issue(0, 0, 2)
+
+    # in-place append: ONE DMA writes the token's (k | v) rows —
+    # page and token-offset are both MAJOR dims of the 4-D layout, so no
+    # tiled-dim slicing is involved
+    pos = positions_ref[b]
+    page_w = page_table_ref[b, jax.lax.div(pos, page_size)]
+    off_w = jax.lax.rem(pos, page_size)
+    pltpu.make_async_copy(
+        kvnew_ref.at[0],
+        kv_out_ref.at[page_w, off_w],
+        append_sem.at[0],
+    ).start()
+
+    kv_dtype = kv_buf.dtype
+    compute_dtype = jnp.float32 if kv_dtype == jnp.float32 else jnp.bfloat16
+    q = (q_ref[0].astype(jnp.float32) * sm_scale).astype(compute_dtype)
+
+    def body(chunk, carry):
+        m_prev, l_prev, acc = carry
+
+        @pl.when(chunk + 1 < valid_chunks)
+        def _pf():
+            issue(b, chunk + 1, slot_of(chunk + 1))
+
+        slot = slot_of(chunk)
+        wait(slot)
+        kv = kv_buf[slot].reshape(ct2, num_kv_heads * d)  # interleaved rows
+        if kv.dtype != compute_dtype:
+            kv = kv.astype(compute_dtype)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, ct2), 1)
+        tok_pos = chunk * chunk_tokens + jax.lax.div(col, 2)
+        is_k = jax.lax.rem(col, 2) == 0
+        mask = jnp.logical_and(is_k, tok_pos < kv_len)
+        if window_left >= 0:
+            # window relative to the FULL kv (incl. the new token)
+            mask = jnp.logical_and(
+                mask, tok_pos >= (kv_len + 1) - (window_left + 1)
+            )
+
+        s_parts = []
+        for h in range(num_kv_heads):
+            qh = q[h * g8:(h + 1) * g8]
+            kvh = kv[:, h * d:(h + 1) * d]  # [ct2, D]
+            s_parts.append(jax.lax.dot_general(
+                qh, kvh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        s = jnp.concatenate(s_parts, axis=0)  # [rows, ct2]
+        if logits_soft_cap > 0.0:
+            s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+        l_cur = jnp.sum(p, axis=1, keepdims=True)
+        # shift P one lane right: weight at k-column 2t lands on v-column
+        # 2t+1, so P·(interleaved kv) picks exactly the V rows
+        p_shift = jnp.roll(p, 1, axis=1).astype(compute_dtype)
+        pv_parts = []
+        for h in range(num_kv_heads):
+            ph = p_shift[h * g8:(h + 1) * g8]
+            kvh = kv[:, h * d:(h + 1) * d]
+            pv_parts.append(jax.lax.dot_general(
+                ph, kvh, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        pv = jnp.concatenate(pv_parts, axis=0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + l_cur
+        acc = acc * alpha + pv
+
+        @pl.when(jnp.logical_and(chunk + 1 >= valid_chunks, b + 1 < num_b))
+        def _cross_prefetch():
+            @pl.when(kv_lens_ref[b + 1] - 1 > 0)
+            def _():
+                issue(b + 1, 0, 3 - parity)
+
+        return m_new, l_new, acc
+
+    m0 = jnp.full((rows, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((rows, 1), jnp.float32)
+    acc0 = jnp.zeros((rows, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, valid_chunks, body, (m0, l0, acc0))
+
+    # empty-cache requests never enter body: forward the cross prefetch
+    @pl.when(jnp.logical_and(valid_chunks == 0, b + 1 < num_b))
+    def _pf_from_empty():
+        @pl.when(kv_lens_ref[b + 1] - 1 > 0)
+        def _():
+            issue(b + 1, 0, 3 - parity)
+
+    # inject the NEW token (always visible; latest position is inside any
+    # sliding window)
+    knew = kvnew_ref[0].astype(jnp.float32)  # [2*Hkv, D]: k rows | v rows
+    s_parts, v_parts = [], []
+    qf = q.astype(jnp.float32)
+    for h in range(num_kv_heads):
+        qh = qf[h * g8:(h + 1) * g8]
+        kh = knew[h][None, :]  # [1, D]
+        vh = knew[num_kv_heads + h]
+        s_parts.append(jnp.sum(qh * kh, axis=1, keepdims=True))
+        v_parts.append(jnp.broadcast_to(vh[None, :], (g8, d)))
+    s_new = jnp.concatenate(s_parts, axis=0)
+    v_new_rows = jnp.concatenate(v_parts, axis=0)
+    if logits_soft_cap > 0.0:
+        s_new = logits_soft_cap * jnp.tanh(s_new / logits_soft_cap)
+    m2 = jnp.maximum(m, s_new)
+    alpha = jnp.exp(m - m2)
+    p_new = jnp.exp(s_new - m2)
+    l = l * alpha + p_new
+    acc = acc * alpha + p_new * v_new_rows
+    m = m2
+
+    # the append DMA must complete before the kernel ends
+    pltpu.make_async_copy(
+        kvnew_ref.at[0],
+        kv_out_ref.at[page_w, off_w],
+        append_sem.at[0],
+    ).wait()
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
+    lse_ref[0] = jnp.broadcast_to(lse, (rows, 128)).astype(lse_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "logits_soft_cap", "window_left",
+                     "interpret"),
+    donate_argnums=(1,),
+)
+def paged_decode_attention_append(
+    q: jax.Array,  # [B, H_q, D]
+    kv_cache: jax.Array,  # [pages, page_size, 2, H_kv, D] INTERLEAVED, donated
+    page_table: jax.Array,
+    kv_lens: jax.Array,  # INCLUDING the new token
+    positions: jax.Array,  # [B] position of the new token (== kv_len - 1)
+    k_new: jax.Array,  # [B, H_kv, D]
+    v_new: jax.Array,
+    *,
+    sm_scale: float | None = None,
+    logits_soft_cap: float = 0.0,
+    window_left: int = -1,
+    sinks: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused append + decode attention over the token-interleaved cache
+    [pages, page_size, 2, H_kv, D] (see _decode_kernel_fused). Returns
+    (out, lse, updated kv_cache)."""
+    del sinks  # sink variant rides the non-fused path
+    batch, num_q_heads, head_dim = q.shape
+    num_pages, page_size = kv_cache.shape[0], kv_cache.shape[1]
+    num_kv_heads = kv_cache.shape[3]
+    group = num_q_heads // num_kv_heads
+    g8 = max(8, ((group + 7) // 8) * 8)
+    rows = num_kv_heads * g8
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+    chunk_pages = max(1, min(512 // page_size, 32))
+    max_pages = page_table.shape[1]
+    pad_pages = (-max_pages) % chunk_pages
+    if pad_pages:
+        page_table = jnp.pad(page_table, ((0, 0), (0, pad_pages)))
+    chunk_pages = min(chunk_pages, page_table.shape[1])
+
+    q4 = q.reshape(batch, num_kv_heads, group, head_dim)
+    if g8 != group:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, g8 - group), (0, 0)))
+    q3 = q4.reshape(batch, rows, head_dim)
+    kv2 = kv_cache.reshape(num_pages, page_size, 2 * num_kv_heads, head_dim)
+    kvnew = jnp.concatenate(
+        [k_new, v_new], axis=1
+    ).astype(kv_cache.dtype)  # [B, 2*Hkv, D]: k rows then v rows
+
+    kernel = functools.partial(
+        _decode_kernel_fused,
+        num_kv_heads=num_kv_heads, head_dim=head_dim, page_size=page_size,
+        chunk_pages=chunk_pages, g8=g8,
+        sm_scale=float(sm_scale), logits_soft_cap=float(logits_soft_cap),
+        window_left=int(window_left),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, rows, head_dim), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 2 * num_kv_heads, head_dim),
+                         lambda b, *_: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, head_dim), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, rows, 128), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(
+                (4, chunk_pages, page_size, 2 * num_kv_heads, head_dim),
+                kv_cache.dtype,
+            ),
+            pltpu.SemaphoreType.DMA((4, chunk_pages)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    out, lse, kv_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((batch, rows, head_dim), q.dtype),
             jax.ShapeDtypeStruct((batch, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct(kv2.shape, kv2.dtype),
         ],
+        # operands: pt, kl, pos, q3, kv2, kvnew → kv2 is operand index 4,
+        # aliased to output 2 (in-place append)
+        input_output_aliases={4: 2},
         interpret=resolve_interpret(interpret),
-    )(page_table, kv_lens, q3, kv2, kv2, sinks_arr)
+    )(page_table, kv_lens, positions.astype(jnp.int32), q3, kv2, kvnew)
     out = out.reshape(batch, num_kv_heads, g8, head_dim)[:, :, :group]
     out = out.reshape(batch, num_q_heads, head_dim)
     lse_out = lse[:, :, 0].reshape(batch, num_kv_heads, g8)[:, :, :group]
     lse_out = lse_out.reshape(batch, num_q_heads)
-    return out, lse_out
+    return out, lse_out, kv_out.reshape(kv_cache.shape)
 
 
 @functools.partial(

@@ -120,15 +120,15 @@ def test_sharded_decode_matches_single_chip(tiny_model):
     kv_lens = jnp.full((batch,), 1, jnp.int32)
 
     ref_logits, _ = decode_step(
-        params, cfg, caches, tokens, positions,
-        jnp.asarray(table_global), kv_lens,
+        params, cfg, init_kv_cache(cfg, num_pages, page_size), tokens,
+        positions, jnp.asarray(table_global), kv_lens,
     )
 
     step_fn, in_specs, _ = make_sharded_decode_fn(cfg, mesh)
     sp = shard_params(params, cfg, mesh)
     from jax.sharding import NamedSharding
-    cache_sh = NamedSharding(mesh, in_specs[1][0])
-    caches_s = tuple(jax.device_put(c, cache_sh) for c in caches)
+    cache_sh = NamedSharding(mesh, in_specs[1])
+    caches_s = jax.device_put(caches, cache_sh)
     out, _ = step_fn(
         sp, caches_s, tokens, positions, jnp.asarray(table_local), kv_lens
     )
@@ -153,22 +153,23 @@ def test_pp_decode_matches_single_chip(tiny_model):
     kv_lens = jnp.ones(batch, jnp.int32)
 
     ref_logits, ref_caches = decode_step(
-        params, cfg, caches, tokens, positions, jnp.asarray(table), kv_lens
+        params, cfg, init_kv_cache(cfg, num_pages, page_size), tokens,
+        positions, jnp.asarray(table), kv_lens
     )
 
     fn, in_specs, _ = make_pp_decode_fn(cfg, mesh)
     sp = {k: jax.device_put(v, NamedSharding(mesh, in_specs[0][k]))
           for k, v in params.items()}
-    cache_sh = NamedSharding(mesh, in_specs[1][0])
-    caches_s = tuple(jax.device_put(c, cache_sh) for c in caches)
+    cache_sh = NamedSharding(mesh, in_specs[1])
+    caches_s = jax.device_put(caches, cache_sh)
     out, out_caches = fn(sp, caches_s, tokens, positions,
                          jnp.asarray(table), kv_lens)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref_logits), rtol=3e-2, atol=3e-2
     )
     np.testing.assert_allclose(
-        np.asarray(out_caches[0]).astype(np.float32),
-        np.asarray(ref_caches[0]).astype(np.float32), rtol=1e-2, atol=1e-2,
+        np.asarray(out_caches).astype(np.float32),
+        np.asarray(ref_caches).astype(np.float32), rtol=1e-2, atol=1e-2,
     )
 
 
