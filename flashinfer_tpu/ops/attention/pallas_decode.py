@@ -420,8 +420,8 @@ def paged_decode_attention(
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, g8 - group), (0, 0)))
     q3 = q4.reshape(batch, rows, head_dim)
 
-    k2 = k_cache.reshape(num_pages, page_size * num_kv_heads * head_dim)
-    v2 = v_cache.reshape(num_pages, page_size * num_kv_heads * head_dim)
+    k2 = k_cache.reshape(num_pages, page_size, num_kv_heads * head_dim)
+    v2 = v_cache.reshape(num_pages, page_size, num_kv_heads * head_dim)
 
     use_sinks = sinks is not None
     if use_sinks:
@@ -460,11 +460,11 @@ def paged_decode_attention(
         ],
         scratch_shapes=[
             pltpu.VMEM(
-                (4, chunk_pages, page_size * num_kv_heads * head_dim),
+                (4, chunk_pages, page_size, num_kv_heads * head_dim),
                 k_cache.dtype,
             ),
             pltpu.VMEM(
-                (4, chunk_pages, page_size * num_kv_heads * head_dim),
+                (4, chunk_pages, page_size, num_kv_heads * head_dim),
                 v_cache.dtype,
             ),
             pltpu.SemaphoreType.DMA((4, chunk_pages, 2)),
