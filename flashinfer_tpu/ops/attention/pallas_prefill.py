@@ -46,8 +46,9 @@ KV_BLOCK = 128  # default kv positions per chunk
 
 # TPU defaults: larger tiles amortize per-grid-step overhead (the dominant
 # cost at small tiles — measured 1.3 us/step); the interpreter keeps small
-# tiles for CPU CI speed.
-TPU_ROW_BLOCK = 256
+# tiles for CPU CI speed.  Swept on v5e at 4k causal llama-8B geometry:
+# 256/512 = 67, 512/512 = 75, 512/1024 = 71, 1024/512 = 69 TFLOP/s.
+TPU_ROW_BLOCK = 512
 TPU_KV_BLOCK = 512
 
 
