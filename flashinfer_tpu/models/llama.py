@@ -111,11 +111,16 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> dict:
 def init_kv_cache(
     cfg: LlamaConfig, num_pages: int, page_size: int, dtype=None
 ) -> jax.Array:
-    """Combined per-layer paged cache [L, pages, 2, page_size, Hkv, D] —
-    the 5-D reference layout (decode.py:1841) with a layer axis; k and v
-    of a page share one DMA descriptor in the decode kernel."""
-    shape = (cfg.num_layers, num_pages, 2, page_size, cfg.num_kv_heads,
-             cfg.head_dim)
+    """Combined per-layer paged cache [L, pages, 2, page_size, Hkv*D] —
+    the reference's combined layout (decode.py:1841) with a layer axis and
+    the head/dim axes PRE-MERGED.  The merge matters on TPU: the physical
+    tiling covers the minor-most two dims, so reshaping [ps, Hkv, D] ->
+    [ps, Hkv*D] at step time is a full-cache relayout copy (measured
+    13 ms/step on a 2 GB cache).  Kernels address heads as lane ranges of
+    Hkv*D, so this is their native layout; k and v of a page share one
+    DMA descriptor in the decode kernel."""
+    shape = (cfg.num_layers, num_pages, 2, page_size,
+             cfg.num_kv_heads * cfg.head_dim)
     dtype = dtype or cfg.dtype
     return jnp.zeros(shape, dtype)
 
@@ -186,13 +191,15 @@ def decode_step(
 ) -> tuple[jax.Array, jax.Array]:
     """One decode step for a batch; returns (logits [B, V], updated cache).
 
-    Layers are python-unrolled with the fused append+attention kernel on a
-    flat [L*pages] combined cache: the new token's (k, v) is injected into
-    the softmax and its cache row DMA-written in place — no scatter pass
-    (a scatter followed by a kernel read forces XLA to copy the multi-GB
-    cache; measured 2x end-to-end decode slowdown).
+    Layers are python-unrolled on a flat [L*pages] combined cache.  Each
+    layer writes the new token's (k, v) row with the aliased Pallas append
+    kernel and the attention kernel then reads the updated cache — the
+    cache value flows `append -> attention -> next append` as a linear
+    ownership chain, so XLA keeps every update in place (an XLA scatter
+    with any kernel reader, before OR after, forces a full multi-GB cache
+    copy: measured 13 ms/step on a 2 GB cache).
     """
-    from ..ops.attention.pallas_decode import _combined_call
+    from ..ops.attention.pallas_decode import _combined_call, paged_append_rows
 
     x = params["embed"][token_ids].astype(cfg.dtype)  # [B, H]
     d, hq, hkv = cfg.head_dim, cfg.num_qo_heads, cfg.num_kv_heads
@@ -202,10 +209,11 @@ def decode_step(
     rows = hkv * g8
     num_layers, num_pages = kv_caches.shape[0], kv_caches.shape[1]
     page_size = kv_caches.shape[3]
-    # flat plane layout [L*pages, 2, ps, Hkv*D]; layers are python-unrolled
-    # (measured: scan xs/ys restacks the cache, scan-carry + scatter copies
-    # it, alias-passthrough through the kernel copies BOTH alias ends —
-    # plain unrolled scatter on donated buffers is the fastest structure)
+    # [L, pages, 2, ps, Hkv*D] -> [L*pages, 2, ps, Hkv*D]: merging MAJOR
+    # dims only — a free bitcast (never merge the minor-most two at step
+    # time: that is a full-cache physical relayout).  Layers are
+    # python-unrolled (measured: scan xs/ys restacks the cache and
+    # scan-carry over layers copies it).
     kv_flat = kv_caches.reshape(
         num_layers * num_pages, 2, page_size, hkv * d
     )
@@ -223,6 +231,7 @@ def decode_step(
     b_idx = jnp.arange(batch)
     off = positions % page_size
 
+    entry0 = page_table[b_idx, positions // page_size]  # [B]
     for l in range(cfg.num_layers):
         lp = {k: params[k][l] for k in _layer_keys(cfg)}
         h_in = x
@@ -233,11 +242,11 @@ def decode_step(
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
-        entry = page_table[b_idx, positions // page_size] + l * num_pages
-        kv_flat = kv_flat.at[entry, 0, off].set(
-            k.reshape(batch, hkv * d).astype(kv_flat.dtype))
-        kv_flat = kv_flat.at[entry, 1, off].set(
-            v.reshape(batch, hkv * d).astype(kv_flat.dtype))
+        kv_flat = paged_append_rows(
+            kv_flat, entry0 + l * num_pages, off,
+            k.reshape(batch, hkv * d), v.reshape(batch, hkv * d),
+            interpret=interpret,
+        )
 
         q4 = q.reshape(batch, hkv, group, d)
         if g8 != group:
@@ -370,7 +379,7 @@ def make_sharded_decode_fn(
         layer_params = {k: params[k] for k in _layer_keys(cfg)}
 
         def layer(x, xs):
-            lp, kv_c = xs  # kv_c: [pages, 2, ps, hkv_local, d]
+            lp, kv_c = xs  # kv_c: [pages, 2, ps, hkv_local*d] (merged)
             h_in = x
             x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
             q = (x @ lp["wq"]).reshape(batch, hq, d)
@@ -378,8 +387,9 @@ def make_sharded_decode_fn(
             v = (x @ lp["wv"]).reshape(batch, hkv, d)
             q = _rope(q, positions, cfg.rope_theta)
             k = _rope(k, positions, cfg.rope_theta)
+            kv_c4 = kv_c.reshape(kv_c.shape[0], 2, kv_c.shape[2], hkv, d)
             k_c, v_c = _append_decode_kv(
-                kv_c[:, 0], kv_c[:, 1], k, v, page_table, positions
+                kv_c4[:, 0], kv_c4[:, 1], k, v, page_table, positions
             )
             attn, _ = paged_decode_attention(
                 q, k_c, v_c, page_table, kv_lens, interpret=interpret
@@ -390,7 +400,7 @@ def make_sharded_decode_fn(
             x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
             y = _mlp(cfg_local, lp, x).astype(x.dtype)
             x = h_in + jax.lax.psum(y, tp)
-            return x, jnp.stack([k_c, v_c], axis=1)
+            return x, jnp.stack([k_c, v_c], axis=1).reshape(kv_c.shape)
 
         x, kv_all = jax.lax.scan(layer, x, (layer_params, kv_caches))
         x = rmsnorm(x, params["final_norm"], eps=cfg.rms_eps)
@@ -399,9 +409,10 @@ def make_sharded_decode_fn(
         return logits, kv_all
 
     pspecs = param_specs(cfg, tp=tp)
-    # combined cache [L, pages, 2, ps, Hkv, D]: page pool shards over dp
-    # (group-local page ids), kv heads over tp
-    cache_spec = P(None, dp, None, None, tp, None)
+    # combined cache [L, pages, 2, ps, Hkv*D]: page pool shards over dp
+    # (group-local page ids), kv heads over tp (contiguous d-blocks of the
+    # merged Hkv*D axis == whole heads while tp <= Hkv)
+    cache_spec = P(None, dp, None, None, tp)
     in_specs = (
         pspecs,
         cache_spec,
@@ -471,7 +482,7 @@ def make_pp_decode_fn(
 
         def run_stage(x, kv_all):
             def layer(x, xs):
-                lp, kv_c = xs  # [pages, 2, ps, hkv_local, d]
+                lp, kv_c = xs  # [pages, 2, ps, hkv_local*d] (merged)
                 h_in = x
                 x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
                 q = (x @ lp["wq"]).reshape(batch, hq, d)
@@ -479,8 +490,9 @@ def make_pp_decode_fn(
                 v = (x @ lp["wv"]).reshape(batch, hkv, d)
                 q = _rope(q, positions, cfg.rope_theta)
                 k = _rope(k, positions, cfg.rope_theta)
+                kv_c4 = kv_c.reshape(kv_c.shape[0], 2, kv_c.shape[2], hkv, d)
                 k_c, v_c = _append_decode_kv(
-                    kv_c[:, 0], kv_c[:, 1], k, v, page_table, positions
+                    kv_c4[:, 0], kv_c4[:, 1], k, v, page_table, positions
                 )
                 attn, _ = paged_decode_attention(
                     q, k_c, v_c, page_table, kv_lens, interpret=interpret
@@ -491,7 +503,7 @@ def make_pp_decode_fn(
                 x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
                 y = _mlp(cfg_local, lp, x).astype(x.dtype)
                 x = h_in + jax.lax.psum(y, tp)
-                return x, jnp.stack([k_c, v_c], axis=1)
+                return x, jnp.stack([k_c, v_c], axis=1).reshape(kv_c.shape)
 
             return jax.lax.scan(layer, x, (layer_params, kv_all))
 
@@ -526,7 +538,7 @@ def make_pp_decode_fn(
             pspecs[k] = base
         else:
             pspecs[k] = P(pp, *tuple(base)[1:])
-    cache_spec = P(pp, None, None, None, tp, None)
+    cache_spec = P(pp, None, None, None, tp)
     in_specs = (pspecs, cache_spec, P(), P(), P(None, None), P())
     out_specs = (P(None, None), cache_spec)
     fn = shard_map(local_step, mesh=mesh, in_specs=in_specs,

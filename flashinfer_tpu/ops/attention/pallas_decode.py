@@ -192,6 +192,7 @@ def _decode_kernel_v2(
     v_scale: float,
     use_sinks: bool,
     combined: bool = False,
+    inject_new: bool = False,
 ):
     # optional aliased cache-output ref precedes the 4 scratch entries
     k_buf, v_buf, sem, append_sem = rest[-4:]
@@ -199,6 +200,13 @@ def _decode_kernel_v2(
     b = pl.program_id(0)
     num_b = pl.num_programs(0)
     kv_len = kv_lens_ref[b]
+    if inject_new:
+        # the newest token's (k, v) arrives via knew/vnew and is NOT in the
+        # cache yet: sweep only the kv_len-1 cached tokens, then fold the
+        # new token in as one extra online-softmax column.  Lets the model
+        # defer ALL cache writes to one end-of-step scatter (a per-layer
+        # scatter followed by a kernel read forces XLA to copy the cache).
+        kv_len = kv_len - 1
     max_pages = page_table_ref.shape[1]
     num_chunks = max_pages // chunk_pages
     d = head_dim
@@ -288,7 +296,10 @@ def _decode_kernel_v2(
         )
         mask = pos < kv_len
         if window_left >= 0:
-            mask = jnp.logical_and(mask, pos >= kv_len - (window_left + 1))
+            # query sits at absolute position (full kv_len) - 1; in inject
+            # mode kv_len was decremented, shifting the bound by one
+            lo = kv_len - (window_left if inject_new else window_left + 1)
+            mask = jnp.logical_and(mask, pos >= lo)
 
         # phase 1 (MXU): per-head QK^T tiles, stacked to [rows, ct]
         s_parts = []
@@ -338,6 +349,25 @@ def _decode_kernel_v2(
     l0 = jnp.zeros((rows, 1), jnp.float32)
     acc0 = jnp.zeros((rows, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, valid_chunks, body, (m0, l0, acc0))
+
+    if inject_new:
+        # one extra online-softmax column: the just-computed token.  q is
+        # prescaled by sm_scale * k_scale, but knew/vnew are unquantized
+        # fresh values, so this path requires k_scale == v_scale == 1.
+        # knew/vnew arrive pre-broadcast to [1, rows, D] (row r = head
+        # r // g8) — Mosaic can't shape-cast [Hkv*D] -> [Hkv, 1, D] in
+        # kernel, so the (tiny) broadcast happens on the XLA side.
+        kb = knew_ref[0].astype(jnp.float32)  # [rows, D]
+        vb = vnew_ref[0].astype(jnp.float32)
+        s_new = jnp.sum(q.astype(jnp.float32) * kb, axis=1, keepdims=True)
+        if logits_soft_cap > 0.0:
+            s_new = logits_soft_cap * jnp.tanh(s_new / logits_soft_cap)
+        m2 = jnp.maximum(m, s_new)
+        alpha = jnp.exp(m - m2)
+        p_new = jnp.exp(s_new - m2)
+        l = l * alpha + p_new
+        acc = acc * alpha + p_new * vb
+        m = m2
 
     if use_sinks:
         sink = sinks_ref[:, :1]  # [rows, 1]
@@ -562,19 +592,38 @@ def _combined_call(
     num_q_heads, num_kv_heads, head_dim, page_size, chunk_pages, sm_scale,
     logits_soft_cap, window_left, k_scale, v_scale, use_sinks, interpret,
     alias_cache: bool = False,
+    inject_kv: tuple | None = None,  # (k_new [B, Hkv*D], v_new [B, Hkv*D])
 ):
+    inject_new = inject_kv is not None
+    if inject_new:
+        assert k_scale == 1.0 and v_scale == 1.0, (
+            "inject mode takes unquantized new-token rows"
+        )
     kernel = functools.partial(
         _decode_kernel_v2,
         num_kv_heads=num_kv_heads, head_dim=head_dim, page_size=page_size,
         chunk_pages=chunk_pages, g8=g8,
         sm_scale=sm_scale, logits_soft_cap=logits_soft_cap,
         window_left=window_left, k_scale=k_scale, v_scale=v_scale,
-        use_sinks=use_sinks, combined=True,
+        use_sinks=use_sinks, combined=True, inject_new=inject_new,
     )
     positions = jnp.zeros((batch,), jnp.int32)
-    knew = jnp.zeros((1, 1, num_kv_heads * head_dim), kv2.dtype)
-    knew_spec = pl.BlockSpec((1, 1, num_kv_heads * head_dim),
-                             lambda b, *_: (0, 0, 0))
+    if inject_new:
+        # pre-broadcast new-token rows to [B, rows, D]: row r = head r//g8
+        def rowify(a):
+            a4 = a.reshape(batch, num_kv_heads, 1, head_dim)
+            a4 = jnp.broadcast_to(
+                a4, (batch, num_kv_heads, g8, head_dim))
+            return a4.reshape(batch, rows, head_dim)
+
+        knew = rowify(inject_kv[0])
+        vnew = rowify(inject_kv[1])
+        knew_spec = pl.BlockSpec((1, rows, head_dim),
+                                 lambda b, *_: (b, 0, 0))
+    else:
+        knew = vnew = jnp.zeros((1, 1, num_kv_heads * head_dim), kv2.dtype)
+        knew_spec = pl.BlockSpec((1, 1, num_kv_heads * head_dim),
+                                 lambda b, *_: (0, 0, 0))
     out_specs = [
         pl.BlockSpec((1, rows, head_dim), lambda b, *_: (b, 0, 0)),
         pl.BlockSpec((1, rows, 128), lambda b, *_: (b, 0, 0)),
@@ -620,7 +669,7 @@ def _combined_call(
         out_shape=out_shape,
         interpret=resolve_interpret(interpret),
         **kwargs,
-    )(page_table, kv_lens, positions, q3, kv2, kv2, sinks_arr, knew, knew)
+    )(page_table, kv_lens, positions, q3, kv2, kv2, sinks_arr, knew, vnew)
     out, lse = results[0], results[1]
     out = out.reshape(batch, num_kv_heads, g8, head_dim)[:, :, :group]
     out = out.reshape(batch, num_q_heads, head_dim)
@@ -629,6 +678,80 @@ def _combined_call(
     if alias_cache:
         return out, lse_out, results[2]
     return out, lse_out
+
+
+def _append_rows_kernel(
+    entries_ref,  # [B] i32 (SMEM): flat page row per request
+    offs_ref,  # [B] i32 (SMEM): token offset within the page
+    kv_ref,  # [1, 2, ps, Hkv*D] VMEM: the request's page (both planes)
+    knew_ref,  # [1, 1, Hkv*D] VMEM
+    vnew_ref,  # [1, 1, Hkv*D] VMEM
+    out_ref,  # aliased to kv_ref's buffer: same block, written back
+    *,
+    page_size: int,
+):
+    b = pl.program_id(0)
+    row = (
+        jax.lax.broadcasted_iota(jnp.int32, (page_size, 1), 0) == offs_ref[b]
+    )
+    out_ref[0, 0] = jnp.where(row, knew_ref[0].astype(out_ref.dtype),
+                              kv_ref[0, 0])
+    out_ref[0, 1] = jnp.where(row, vnew_ref[0].astype(out_ref.dtype),
+                              kv_ref[0, 1])
+
+
+def paged_append_rows(
+    kv_flat: jax.Array,  # [rows, 2, page_size, Hkv*D] combined flat cache
+    entries: jax.Array,  # [B] i32 flat page row of each request
+    offs: jax.Array,  # [B] i32 token offset within that page
+    k_new: jax.Array,  # [B, Hkv*D]
+    v_new: jax.Array,  # [B, Hkv*D]
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Write one new token row per request into the combined flat cache
+    IN PLACE (aliased Pallas read-modify-write of the owning page).
+
+    This is the TPU analog of the reference's AppendPagedKVCache kernel
+    (page.cuh): called right before the attention kernel that reads the
+    cache, the alias chain `cache -> append -> attention` is a linear
+    ownership chain, so XLA never copies the multi-GB buffer (an XLA
+    scatter with any later reader forces a full-cache copy — measured
+    13 ms on a 2 GB cache).  A single bf16 token row cannot be DMA-sliced
+    (sublane tiling), so the kernel rewrites the whole page with the row
+    folded in via a masked select (~page_size/1 write amplification, but
+    pages are tiny relative to the attention sweep).
+
+    Requests must own distinct pages (true for decode batches).
+    """
+    batch = entries.shape[0]
+    page_size = kv_flat.shape[2]
+    hd = kv_flat.shape[3]
+    kernel = functools.partial(_append_rows_kernel, page_size=page_size)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, 2, page_size, hd),
+                         lambda b, ent_ref, off_ref: (ent_ref[b], 0, 0, 0)),
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, page_size, hd),
+            lambda b, ent_ref, off_ref: (ent_ref[b], 0, 0, 0),
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(kv_flat.shape, kv_flat.dtype),
+        input_output_aliases={2: 0},  # kv_flat (after 2 prefetch args)
+        interpret=resolve_interpret(interpret),
+    )(entries, offs,
+      kv_flat,
+      k_new.reshape(batch, 1, hd).astype(kv_flat.dtype),
+      v_new.reshape(batch, 1, hd).astype(kv_flat.dtype))
 
 
 def _decode_kernel_fused(
