@@ -9,6 +9,20 @@ fused RoPE/norm/activation ops, and mesh-parallel serving primitives.
 
 from .version import __version__  # noqa: F401
 
+# Point XLA's persistent compilation cache at the package cache dir on
+# import (reference analog: the prebuilt jit-cache wheel, jit/core.py:360).
+# Saves the 20-40 s first-compile on every process; opt out with
+# FLASHINFER_TPU_NO_PERSISTENT_CACHE=1.
+import os as _os
+
+if not _os.environ.get("FLASHINFER_TPU_NO_PERSISTENT_CACHE"):
+    try:
+        from .aot import enable_persistent_cache as _epc
+
+        _epc()
+    except Exception:
+        pass
+
 from .utils import (  # noqa: F401
     KVLayout,
     MaskMode,

@@ -99,6 +99,19 @@ class PrefillPlan:
     # tile geometry this plan was built for
     row_block: int = ROW_BLOCK
     kv_block: int = KV_BLOCK
+    # v2 (head-major streaming) tables — ragged KV only, None for paged
+    # plans. KV rows are repacked once into an 8-row-aligned head-major
+    # pool (Mosaic requires DMA sublane offsets provably divisible by the
+    # tile); work_kv_row0_d8 holds aligned_row_start/8 per work.
+    work_kv_row0_d8: jax.Array | None = None
+    kv8_src: np.ndarray | None = None  # [R_al] natural row per aligned row
+    kv8_valid: np.ndarray | None = None  # [R_al] bool
+    tkv8_pad: int = 0  # R_al (without the trailing kv_block pad)
+    # gather-elision flags: when a src map is the identity (+ zero pad),
+    # run_prefill uses pad/slice instead of a full-array gather
+    q_contig: bool = False
+    out_contig: bool = False
+    kv8_contig: bool = False
 
 
 def build_prefill_plan(
@@ -128,6 +141,42 @@ def build_prefill_plan(
     kv_block = kv_block or d_kb
     tq_tokens = max(1, row_block // group)  # tokens per q tile
 
+    # v2 tables (ragged KV only): per-work aligned-pool row start and the
+    # gather map that builds the 8-row-aligned pool. Works are emitted per
+    # request in order, one per q tile, plus one dummy at the end —
+    # identical in the python and native planners.
+    v2_fields: dict = {}
+    if kv_row_starts is not None:
+        wkr_d8: list[int] = []
+        kv8_src_l: list[np.ndarray] = []
+        kv8_valid_l: list[np.ndarray] = []
+        al_cursor = 0
+        for b in range(batch):
+            qo_len_b = int(qo_indptr[b + 1] - qo_indptr[b])
+            kv_len_b = int(kv_lens[b])
+            al_b = cdiv(max(kv_len_b, 1), 8) * 8
+            if qo_len_b > 0:
+                wkr_d8.extend(
+                    [al_cursor // 8] * cdiv(qo_len_b, tq_tokens)
+                )
+            kv8_src_l.append(int(kv_row_starts[b]) + np.arange(al_b))
+            kv8_valid_l.append(np.arange(al_b) < kv_len_b)
+            al_cursor += al_b
+        wkr_d8.append(0)  # dummy work
+        kv8_src = (
+            np.concatenate(kv8_src_l) if kv8_src_l else np.zeros(8, np.int64)
+        )
+        kv8_valid = (
+            np.concatenate(kv8_valid_l) if kv8_valid_l
+            else np.zeros(8, bool)
+        )
+        v2_fields = dict(
+            work_kv_row0_d8=jnp.asarray(np.asarray(wkr_d8, np.int32)),
+            kv8_src=np.where(kv8_valid, kv8_src, 0),
+            kv8_valid=kv8_valid,
+            tkv8_pad=len(kv8_src),
+        )
+
     native = _try_native_plan(
         qo_indptr, kv_lens, group, tq_tokens, causal,
         kv_row_starts=kv_row_starts, page_table=page_table,
@@ -135,7 +184,9 @@ def build_prefill_plan(
         row_block=row_block, kv_block=kv_block,
     )
     if native is not None:
-        return native
+        import dataclasses
+
+        return _with_contig_flags(dataclasses.replace(native, **v2_fields))
 
     work_q_blk, work_kv_blk, work_kv_len = [], [], []
     work_qo_len, work_q_pos = [], []
@@ -224,7 +275,7 @@ def build_prefill_plan(
         item_last.append(1)
 
     as_i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
-    return PrefillPlan(
+    plan = PrefillPlan(
         item_w=as_i32(item_w),
         item_c=as_i32(item_c),
         item_first=as_i32(item_first),
@@ -250,6 +301,33 @@ def build_prefill_plan(
         kv_pad_starts=kv_pad_starts,
         row_block=row_block,
         kv_block=kv_block,
+        **v2_fields,
+    )
+    return _with_contig_flags(plan)
+
+
+def _with_contig_flags(plan: PrefillPlan) -> PrefillPlan:
+    """Detect identity src maps so run() can pad/slice instead of gather."""
+    import dataclasses
+
+    n = plan.total_q
+    q_contig = (
+        len(plan.q_src) >= n
+        and bool(np.all(plan.q_src[:n] == np.arange(n)))
+        and bool(np.all(plan.q_valid[:n]))
+        and not np.any(plan.q_valid[n:])
+    )
+    out_contig = bool(np.all(plan.out_src == np.arange(n)))
+    kv8_contig = False
+    if plan.kv8_src is not None:
+        m = int(np.count_nonzero(plan.kv8_valid))
+        kv8_contig = (
+            bool(np.all(plan.kv8_src[:m] == np.arange(m)))
+            and bool(np.all(plan.kv8_valid[:m]))
+            and not np.any(plan.kv8_valid[m:])
+        )
+    return dataclasses.replace(
+        plan, q_contig=q_contig, out_contig=out_contig, kv8_contig=kv8_contig
     )
 
 
@@ -873,6 +951,344 @@ def prefill_packed_stream(
     return out, lse
 
 
+def _prefill_kernel_hm(
+    # scalar prefetch: per-work tables (kv_row0_d8 = the work's request row
+    # start in the 8-aligned head-major pool, divided by 8 so Mosaic can
+    # prove the DMA sublane offset divisible by the tile)
+    work_q_blk_ref, work_kv_row0_d8_ref, work_kv_len_ref, work_qo_len_ref,
+    work_q_pos_ref,
+    # inputs
+    q_ref,  # [1, RB, D] VMEM (auto-pipelined)
+    k_hm_ref,  # [H_kv, R_al + KB, D] ANY (8-aligned head-major KV pool)
+    v_hm_ref,
+    aux_ref,  # [1, RB, 128] (sink lane 0, alibi slope lane 1)
+    # outputs
+    o_ref,  # [1, RB, D]
+    lse_ref,  # [1, RB, 8] (value broadcast over the 8 lanes)
+    # scratch
+    k_buf,  # [6, KB, D]
+    v_buf,
+    sem,  # DMA [6, 2]
+    *,
+    group: int,
+    row_block: int,
+    kv_block: int,
+    sm_scale: float,
+    causal: bool,
+    logits_soft_cap: float,
+    window_left: int,
+    k_scale: float,
+    v_scale: float,
+    use_sinks: bool,
+    use_alibi: bool,
+):
+    """Streaming prefill v2 (TPU production path).
+
+    Reference analog: BatchPrefillWithPagedKVCacheKernel's produce_kv
+    pipeline + MMA mainloop (include/flashinfer/attention/prefill.cuh:4065,
+    459). TPU redesign on top of the round-1 streaming kernel:
+
+    * KV streams straight from the 8-aligned head-major pool (the padded
+      per-request KV repack is gone).
+    * The chunk loop is SOFTWARE-PIPELINED with an s-carry: the MXU issues
+      QK for chunk c+1 before the VPU consumes chunk c's scores, so
+      softmax hides under the matmul (the FA3 pingpong, in-order-VLIW
+      form). DMA lookahead is 2 chunks over 4 rotating slots; chunk-0
+      slots (4/5) alternate by grid-step parity as in round 1.
+    * Clean-prefix specialization: chunks fully below the causal diagonal
+      and inside kv_len skip ALL masking VPU work; only boundary chunks
+      pay for iotas/compares (the final chunk is always the epilogue's
+      masked chunk). exp(s - m) underflow makes an explicit masked-p pass
+      unnecessary; rows with no valid column are zeroed in the epilogue.
+    """
+    h = pl.program_id(0)
+    w = pl.program_id(1)
+    num_h = pl.num_programs(0)
+    num_w = pl.num_programs(1)
+    rb, kb = row_block, kv_block
+    d = q_ref.shape[2]
+    tq_tokens = rb // group
+
+    def n_chunks_of(wi):
+        # every work processes >= 1 chunk (decode-kernel convention: keeps
+        # the DMA pipeline invariant; kv_len == 0 rows zeroed at the end)
+        kv_len = work_kv_len_ref[wi]
+        qo_len = work_qo_len_ref[wi]
+        q_pos = work_q_pos_ref[wi]
+        if causal:
+            tile_end = jnp.minimum(q_pos + tq_tokens, qo_len) - 1
+            eff = jnp.minimum(kv_len, tile_end + kv_len - qo_len + 1)
+        else:
+            eff = kv_len
+        return jnp.maximum(
+            jax.lax.div(jnp.maximum(eff, 1) + kb - 1, kb), 1
+        )
+
+    parity = jax.lax.rem(h * num_w + w, 2)
+
+    def slot_of(chunk):
+        return jnp.where(chunk == 0, 4 + parity, jax.lax.rem(chunk, 4))
+
+    def issue(wi, chunk, slot, hh=None):
+        hh = h if hh is None else hh
+        row0 = work_kv_row0_d8_ref[wi] * 8 + chunk * kb
+        pltpu.make_async_copy(
+            k_hm_ref.at[hh, pl.ds(row0, kb)], k_buf.at[slot], sem.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            v_hm_ref.at[hh, pl.ds(row0, kb)], v_buf.at[slot], sem.at[slot, 1]
+        ).start()
+
+    def wait(slot):
+        pltpu.make_async_copy(
+            k_hm_ref.at[0, pl.ds(0, kb)], k_buf.at[slot], sem.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            v_hm_ref.at[0, pl.ds(0, kb)], v_buf.at[slot], sem.at[slot, 1]
+        ).wait()
+
+    n_chunks = n_chunks_of(w)
+
+    @pl.when(jnp.logical_and(h == 0, w == 0))
+    def _bootstrap():
+        issue(0, 0, 4)
+
+    def cross_work_issue():
+        # chunk 0 of the next grid step (w fastest), into the slot the next
+        # step's parity selects
+        wrap = w + 1 >= num_w
+        nxt_w = jnp.where(wrap, 0, w + 1)
+        nxt_h = jnp.where(wrap, h + 1, h)
+
+        @pl.when(jnp.logical_or(w + 1 < num_w, h + 1 < num_h))
+        def _():
+            issue(nxt_w, 0, 5 - parity, hh=jnp.minimum(nxt_h, num_h - 1))
+
+    kv_dtype = k_buf.dtype
+    compute_dtype = jnp.float32 if kv_dtype == jnp.float32 else jnp.bfloat16
+    q = (
+        q_ref[0].astype(jnp.float32) * (sm_scale * k_scale)
+    ).astype(compute_dtype)  # [RB, D]
+
+    kv_len = work_kv_len_ref[w]
+    qo_len = work_qo_len_ref[w]
+    q_pos0 = work_q_pos_ref[w]
+    diag = kv_len - qo_len
+
+    # clean prefix: chunks needing NO masking for any row of this tile.
+    # The final chunk always runs the masked epilogue (it is the causal
+    # diagonal / kv_len edge), so cap at n_chunks - 1.
+    if use_alibi or window_left >= 0 or logits_soft_cap > 0.0:
+        n_clean = jnp.int32(0)
+    else:
+        clean_cols = kv_len
+        if causal:
+            clean_cols = jnp.minimum(clean_cols, q_pos0 + diag + 1)
+        tile_full = (q_pos0 + tq_tokens) <= qo_len
+        n_clean = jnp.where(
+            tile_full, jax.lax.div(jnp.maximum(clean_cols, 0), kb), 0
+        )
+        n_clean = jnp.minimum(n_clean, n_chunks - 1)
+
+    def qk(slot):
+        k = k_buf[slot]
+        if k.dtype != compute_dtype:
+            k = k.astype(compute_dtype)
+        return jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [RB, KB]
+
+    def pv(p, slot):
+        v = v_buf[slot]
+        if v.dtype != compute_dtype:
+            v = v.astype(compute_dtype)
+        return jax.lax.dot_general(
+            p.astype(compute_dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [RB, D]
+
+    rows_tok = q_pos0 + jax.lax.broadcasted_iota(
+        jnp.int32, (rb, kb), 0) // group
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (rb, kb), 1)
+
+    def update(s, chunk, m_prev, l_prev, acc, slot, *, masked):
+        if masked:
+            kv_pos = chunk * kb + cols_i
+            if use_alibi:
+                slope = aux_ref[0, :, 1:2]
+                s = s + slope * (kv_pos - (rows_tok + diag)).astype(
+                    jnp.float32)
+            if logits_soft_cap > 0.0:
+                s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+            mask = jnp.logical_and(kv_pos < kv_len, rows_tok < qo_len)
+            if causal:
+                mask = jnp.logical_and(mask, kv_pos <= rows_tok + diag)
+            if window_left >= 0:
+                mask = jnp.logical_and(
+                    mask, kv_pos >= rows_tok + diag - window_left)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        # masked scores sit at DEFAULT_MASK_VALUE: exp underflows to 0.0
+        # for any row with a valid column — no masked-p pass needed
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + pv(p, slot)
+        return m_new, l_new, acc_new
+
+    def make_body(masked):
+        def body(c, carry):
+            m, l, acc, s_cur = carry
+
+            @pl.when(c + 2 < n_chunks)
+            def _pf():
+                issue(w, c + 2, slot_of(c + 2))
+
+            @pl.when(c + 2 == n_chunks)
+            def _pf_cross():
+                cross_work_issue()
+
+            # QK of chunk c+1 issues on the MXU before the VPU touches
+            # chunk c's scores — in-order VLIW overlaps them
+            nslot = slot_of(c + 1)
+            wait(nslot)
+            s_next = qk(nslot)
+            m, l, acc = update(s_cur, c, m, l, acc, slot_of(c),
+                               masked=masked)
+            return m, l, acc, s_next
+        return body
+
+    # prologue: chunk 0 was DMA'd by the previous grid step (or bootstrap);
+    # chunk 1's DMA must be in flight BEFORE the chunk-0 QK issues, or the
+    # first body iteration eats the whole transfer latency
+    @pl.when(n_chunks > 1)
+    def _pf1():
+        issue(w, 1, slot_of(1))
+
+    @pl.when(n_chunks <= 1)
+    def _pf1_cross():
+        cross_work_issue()
+
+    wait(slot_of(0))
+    s0 = qk(slot_of(0))
+
+    m0 = jnp.full((rb, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((rb, 1), jnp.float32)
+    acc0 = jnp.zeros((rb, d), jnp.float32)
+    carry = jax.lax.fori_loop(
+        0, n_clean, make_body(False), (m0, l0, acc0, s0))
+    carry = jax.lax.fori_loop(
+        n_clean, n_chunks - 1, make_body(True), carry)
+    m, l, acc, s_last = carry
+    # epilogue: the final chunk (always masked — diagonal / kv edge)
+    m, l, acc = update(
+        s_last, n_chunks - 1, m, l, acc, slot_of(n_chunks - 1), masked=True)
+
+    if use_sinks:
+        sink = aux_ref[0, :, 0:1]
+        m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+        l = l + jnp.exp(sink - m_safe)
+    # rows with no valid column carry garbage through the underflow trick
+    # (p == 1 everywhere): zero them here to keep v1 semantics
+    row_valid = jnp.logical_and(rows_tok[:, :1] < qo_len, kv_len > 0)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_scale = v_scale if v_scale != 1.0 else 1.0
+    o = acc * o_scale / l_safe
+    o_ref[0] = jnp.where(row_valid, o, 0.0).astype(o_ref.dtype)
+    lse = m + jnp.log(l_safe)
+    lse = jnp.where(jnp.logical_and(row_valid, l > 0.0), lse, -jnp.inf)
+    lse_ref[...] = jnp.broadcast_to(lse, (rb, 8)).reshape(
+        1, rb, 8).astype(lse_ref.dtype)
+
+
+
+def prefill_packed_hm(
+    q_packed: jax.Array,  # [H_kv, Tq_pad*group, D]
+    k_hm: jax.Array,  # [H_kv, R + kv_block, D] head-major natural pool
+    v_hm: jax.Array,
+    aux_packed: jax.Array,  # [H_kv, RB, 128]
+    plan_arrays: tuple,  # (work_q_blk, work_kv_row0_d8, work_kv_len,
+    #                       work_qo_len, work_q_pos)
+    *,
+    group: int,
+    sm_scale: float,
+    causal: bool,
+    logits_soft_cap: float = 0.0,
+    window_left: int = -1,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+    use_sinks: bool = False,
+    use_alibi: bool = False,
+    row_block: int = ROW_BLOCK,
+    kv_block: int = KV_BLOCK,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Prefill v2: per-head grid, software-pipelined chunk loop, KV
+    streamed from the 8-aligned head-major pool."""
+    num_kv_heads, tqg, head_dim = q_packed.shape
+    (work_q_blk, work_kv_row0_d8, work_kv_len, work_qo_len, work_q_pos) = (
+        plan_arrays
+    )
+    num_works = work_q_blk.shape[0]
+    rb, kb = row_block, kv_block
+
+    def q_map(h, w, wqb, wkr, wkl, wql, wqp):
+        return (h, wqb[w], 0)
+
+    def aux_map(h, w, *refs):
+        return (h, 0, 0)
+
+    kernel = functools.partial(
+        _prefill_kernel_hm,
+        group=group, row_block=rb, kv_block=kb,
+        sm_scale=float(sm_scale), causal=bool(causal),
+        logits_soft_cap=float(logits_soft_cap), window_left=int(window_left),
+        k_scale=float(k_scale), v_scale=float(v_scale),
+        use_sinks=bool(use_sinks), use_alibi=bool(use_alibi),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(num_kv_heads, num_works),
+        in_specs=[
+            pl.BlockSpec((1, rb, head_dim), q_map),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, rb, 128), aux_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rb, head_dim), q_map),
+            pl.BlockSpec(
+                (1, rb, 8), lambda h, w, wqb, *r: (h, wqb[w], 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((6, kb, head_dim), k_hm.dtype),
+            pltpu.VMEM((6, kb, head_dim), v_hm.dtype),
+            pltpu.SemaphoreType.DMA((6, 2)),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q_packed.shape, q_packed.dtype),
+            jax.ShapeDtypeStruct((num_kv_heads, tqg, 8), jnp.float32),
+        ],
+        # the pipelined s-carry + 6 KV slots overflow the default 16 MB
+        # scoped-vmem stack; v5e has 128 MB of VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=resolve_interpret(interpret),
+    )(
+        work_q_blk, work_kv_row0_d8, work_kv_len, work_qo_len, work_q_pos,
+        q_packed, k_hm, v_hm, aux_packed,
+    )
+    return out, lse
+
+
 def run_prefill(
     q: jax.Array,  # [total_q, H_q, D] ragged
     kv_rows_k: jax.Array,  # [num_rows, H_kv, D] flattened KV row pool
@@ -909,16 +1325,27 @@ def run_prefill(
     kv_src = jnp.asarray(plan.kv_src, jnp.int32)
     kv_valid = jnp.asarray(plan.kv_valid)
 
-    # pack q: [Tq_pad, H_q, D] -> [H_kv, Tq_pad*G, D]
-    qp = q[q_src] * q_valid[:, None, None].astype(q.dtype)
+    use_hm = (
+        plan.work_kv_row0_d8 is not None
+        and custom_mask is None
+        and not resolve_interpret(interpret)
+    )
+
+    # pack q: [Tq_pad, H_q, D] -> [H_kv, Tq_pad*G, D] (pad instead of
+    # gather when the src map is the identity — the common aligned case)
+    if plan.q_contig:
+        qp = jnp.pad(q, ((0, plan.tq_pad - total_q), (0, 0), (0, 0)))
+    else:
+        qp = q[q_src] * q_valid[:, None, None].astype(q.dtype)
     qp = qp.reshape(plan.tq_pad, h_kv, g, head_dim)
     qp = jnp.transpose(qp, (1, 0, 2, 3)).reshape(h_kv, plan.tq_pad * g, head_dim)
 
-    # pack kv: [Tkv_pad, H_kv, D] -> [H_kv, Tkv_pad, D]
-    kp = kv_rows_k[kv_src] * kv_valid[:, None, None].astype(kv_rows_k.dtype)
-    vp = kv_rows_v[kv_src] * kv_valid[:, None, None].astype(kv_rows_v.dtype)
-    kp = jnp.transpose(kp, (1, 0, 2))
-    vp = jnp.transpose(vp, (1, 0, 2))
+    if not use_hm:
+        # pack kv: [Tkv_pad, H_kv, D] -> [H_kv, Tkv_pad, D]
+        kp = kv_rows_k[kv_src] * kv_valid[:, None, None].astype(kv_rows_k.dtype)
+        vp = kv_rows_v[kv_src] * kv_valid[:, None, None].astype(kv_rows_v.dtype)
+        kp = jnp.transpose(kp, (1, 0, 2))
+        vp = jnp.transpose(vp, (1, 0, 2))
 
     # aux lanes: 0 = sink, 1 = alibi slope (per packed row)
     use_sinks = sinks is not None
@@ -955,10 +1382,40 @@ def run_prefill(
         use_custom_mask=use_custom_mask,
         row_block=ROW_BLOCK, kv_block=KV_BLOCK, interpret=interpret,
     )
-    if not resolve_interpret(interpret):
-        # TPU production path: streaming kernel (grid per tile, chunks via
-        # manual DMA). The interpreter path keeps the BlockSpec kernel
-        # (fast to emulate and an independent reference implementation).
+    if use_hm:
+        # v2 head-major streaming kernel: KV streams straight from the
+        # natural pool (no XLA packing pass), heads batched per grid step,
+        # clean/boundary chunk split.
+        # one fused gather+transpose pass builds the 8-aligned
+        # head-major pool (pad instead of gather when already contiguous)
+        if plan.kv8_contig:
+            k_al, v_al = kv_rows_k, kv_rows_v
+            row_pad = plan.tkv8_pad + KV_BLOCK - kv_rows_k.shape[0]
+        else:
+            kv8_src = jnp.asarray(plan.kv8_src, jnp.int32)
+            kv8_valid = jnp.asarray(plan.kv8_valid)
+            k_al = kv_rows_k[kv8_src] * kv8_valid[:, None, None].astype(
+                kv_rows_k.dtype)
+            v_al = kv_rows_v[kv8_src] * kv8_valid[:, None, None].astype(
+                kv_rows_v.dtype)
+            row_pad = KV_BLOCK
+        k_hm = jnp.pad(jnp.transpose(k_al, (1, 0, 2)),
+                       ((0, 0), (0, row_pad), (0, 0)))
+        v_hm = jnp.pad(jnp.transpose(v_al, (1, 0, 2)),
+                       ((0, 0), (0, row_pad), (0, 0)))
+        work_arrays = (
+            plan.work_q_blk, plan.work_kv_row0_d8, plan.work_kv_len,
+            plan.work_qo_len, plan.work_q_pos,
+        )
+        common_hm = {
+            k: v for k, v in common.items() if k != "use_custom_mask"
+        }
+        out_p, lse_hm = prefill_packed_hm(
+            qp, k_hm, v_hm, aux, work_arrays, **common_hm
+        )
+        lse2d = lse_hm[:, :, 0]
+    elif not resolve_interpret(interpret):
+        # v1 streaming kernel (packed KV, per-head grid) — custom-mask path
         work_arrays = (
             plan.work_q_blk, plan.work_kv_blk, plan.work_kv_len,
             plan.work_qo_len, plan.work_q_pos,
@@ -966,6 +1423,7 @@ def run_prefill(
         out_p, lse_p = prefill_packed_stream(
             qp, kp, vp, aux, mask_packed, work_arrays, **common
         )
+        lse2d = lse_p[:, :, 0]
     else:
         plan_arrays = (
             plan.item_w, plan.item_c, plan.item_first, plan.item_last,
@@ -975,13 +1433,18 @@ def run_prefill(
         out_p, lse_p = prefill_packed(
             qp, kp, vp, aux, mask_packed, plan_arrays, **common
         )
+        lse2d = lse_p[:, :, 0]
 
     # unpack: [H_kv, Tq_pad*G, D] -> ragged [total_q, H_q, D]
     out = out_p.reshape(h_kv, plan.tq_pad, g, head_dim)
     out = jnp.transpose(out, (1, 0, 2, 3)).reshape(plan.tq_pad, num_q_heads, head_dim)
-    out_src = jnp.asarray(plan.out_src, jnp.int32)
-    out = out[out_src]
-    lse = lse_p[:, :, 0].reshape(h_kv, plan.tq_pad, g)
+    lse = lse2d.reshape(h_kv, plan.tq_pad, g)
     lse = jnp.transpose(lse, (1, 0, 2)).reshape(plan.tq_pad, num_q_heads)
-    lse = lse[out_src]
+    if plan.out_contig:
+        out = out[:total_q]
+        lse = lse[:total_q]
+    else:
+        out_src = jnp.asarray(plan.out_src, jnp.int32)
+        out = out[out_src]
+        lse = lse[out_src]
     return out, lse

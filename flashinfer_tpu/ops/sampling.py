@@ -317,13 +317,32 @@ def top_k_mask_logits(
     logits, squeeze = _ensure_2d(logits)
     logits = _maybe_gather(logits, indices)
     lf = logits.astype(jnp.float32)
-    # threshold in probability space == threshold in logit space (monotone);
-    # search directly on shifted exp to reuse the primitive
+    if isinstance(top_k, int):
+        # static k: the k-th largest logit IS the exact threshold — one
+        # lax.top_k pass, no search, no underflow
+        kth = jax.lax.top_k(lf, top_k)[0][:, -1:]
+        out = jnp.where(lf >= kth, lf, _NEG_INF).astype(logits.dtype)
+        return out[0] if squeeze else out
+    # per-row k: binary-search the threshold IN LOGIT SPACE. Searching on
+    # exp(logit - max) underflows to 0.0 for logits < max - 88 and the
+    # search cannot separate the underflowed tail (reference kernel
+    # sampling.cuh:1202 avoids this by working on logits too).
+    k_arr = jnp.asarray(top_k, jnp.int32).reshape(-1, 1)
+    k_arr = jnp.broadcast_to(k_arr, (lf.shape[0], 1))
     mx = jnp.max(lf, axis=-1, keepdims=True)
-    pf = jnp.exp(lf - mx)
-    tau = _top_k_threshold(pf, jnp.broadcast_to(jnp.asarray(top_k), (pf.shape[0],)))
-    out = jnp.where(pf >= tau, lf, _NEG_INF).astype(logits.dtype)
-    return out[0] if squeeze else out
+    finite = lf > _NEG_INF
+    mn = jnp.min(jnp.where(finite, lf, mx), axis=-1, keepdims=True)
+    lo, hi = mn, mx
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) * 0.5
+        ok = jnp.sum(lf >= mid, axis=-1, keepdims=True) >= k_arr
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    out = jnp.where(jnp.logical_and(lf >= lo, finite), lf, _NEG_INF)
+    return (out[0] if squeeze else out).astype(logits.dtype)
 
 
 def chain_speculative_sampling(
