@@ -83,3 +83,67 @@ def bench_prefill_attention(
         "metric": "TFLOP/s", "value": round(tf, 1),
         "vs_roofline": round(tf / V5E_BF16_TFLOPS, 4),
     }
+
+
+def bench_mla_decode(
+    batch: int = 64, kv_len: int = 2048, page_size: int = 64,
+    num_heads: int = 128, d_ckv: int = 512, d_kpe: int = 64,
+    dtype="bf16",
+) -> dict:
+    """Streaming MLA decode: achieved HBM bandwidth vs roofline
+    (DeepSeek geometry; reference mla.cuh:853)."""
+    import math
+    from flashinfer_tpu.ops.attention.mla import (
+        BatchMLAPagedAttentionWrapper,
+    )
+
+    dt_map = {"bf16": jnp.bfloat16, "int8": jnp.int8,
+              "fp8": jnp.float8_e4m3fn}
+    cache_dt = dt_map[dtype]
+    pages_per = kv_len // page_size
+    num_pages = batch * pages_per
+    rng = np.random.default_rng(0)
+    if cache_dt == jnp.int8:
+        ckv = jnp.asarray(rng.integers(-127, 127,
+                          (num_pages, page_size, d_ckv)), cache_dt)
+        kpe = jnp.asarray(rng.integers(-127, 127,
+                          (num_pages, page_size, d_kpe)), cache_dt)
+    else:
+        ckv = jnp.asarray(rng.standard_normal(
+            (num_pages, page_size, d_ckv)), cache_dt)
+        kpe = jnp.asarray(rng.standard_normal(
+            (num_pages, page_size, d_kpe)), cache_dt)
+    qn = jnp.asarray(rng.standard_normal((batch, num_heads, d_ckv)),
+                     jnp.bfloat16)
+    qp = jnp.asarray(rng.standard_normal((batch, num_heads, d_kpe)),
+                     jnp.bfloat16)
+    kv_indptr = np.arange(batch + 1) * pages_per
+    kv_indices = np.arange(num_pages)
+    w = BatchMLAPagedAttentionWrapper()
+    w.plan(np.arange(batch + 1), kv_indptr, kv_indices,
+           np.full(batch, kv_len), num_heads, d_ckv, d_kpe, page_size,
+           causal=False, sm_scale=1.0 / math.sqrt(d_ckv + d_kpe))
+
+    scale = 1.0 / 32.0 if cache_dt == jnp.int8 else 1.0
+
+    def step(qn_cur, qp_cur, ckv, kpe):
+        o = w.run(qn_cur, qp_cur, ckv, kpe,
+                  ckv_scale=scale, kpe_scale=scale)
+        return o[:, :, :d_ckv].astype(qn_cur.dtype), qp_cur
+
+    def step2(carry, ckv, kpe):
+        qn_cur, qp_cur = carry
+        o, qp_cur = step(qn_cur, qp_cur, ckv, kpe)
+        return o, qp_cur
+
+    dt = min(bench_loop(step2, (qn, qp), ckv, kpe, iters=16)
+             for _ in range(3))
+    kv_bytes = (batch * kv_len * (d_ckv + d_kpe)
+                * jnp.dtype(cache_dt).itemsize)
+    gbs = kv_bytes / dt / 1e9
+    return {
+        "routine": "mla_decode", "ms": round(dt * 1e3, 3),
+        "config": f"b{batch} kv{kv_len} h{num_heads} {dtype}",
+        "metric": "GB/s", "value": round(gbs, 1),
+        "vs_roofline": round(gbs / V5E_HBM_GBS, 4),
+    }

@@ -18,50 +18,73 @@ from flashinfer_tpu.testing.utils import bench_loop
 
 def bench_model_decode(
     num_layers: int = 32, batch: int = 64, kv_len: int = 1024,
-    page_size: int = 32, fp8_weights: bool = True, fp8_cache: bool = True,
-    iters: int = 8,
+    page_size: int = 32, fp8_weights: bool = True, kv_dtype: str = "int8",
+    append_mode: str = "per_layer", iters: int = 8,
 ) -> dict:
     """Tokens/sec/chip for llama-8B-geometry paged decode."""
     from flashinfer_tpu.models.llama import (
         LlamaConfig, decode_step, init_kv_cache, init_params,
-        quantize_params,
+        init_params_quantized,
     )
 
     cfg = LlamaConfig(num_layers=num_layers)
-    params = init_params(jax.random.PRNGKey(0), cfg)
     if fp8_weights:
-        params = quantize_params(params, cfg)
-        params = jax.tree.map(jax.device_put, params)
+        params = init_params_quantized(jax.random.PRNGKey(0), cfg)
+    else:
+        params = init_params(jax.random.PRNGKey(0), cfg)
 
     pages_per = kv_len // page_size + 1  # room for the tokens being decoded
     num_pages = batch * pages_per
-    cache_dtype = jnp.float8_e4m3fn if fp8_cache else cfg.dtype
-    kv = init_kv_cache(cfg, num_pages, page_size, dtype=cache_dtype)
+    cache_dtype = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn,
+                   "bf16": cfg.dtype}[kv_dtype]
     page_table = jnp.asarray(
         np.arange(num_pages, dtype=np.int32).reshape(batch, pages_per))
     tokens = jnp.zeros((batch,), jnp.int32)
     positions = jnp.full((batch,), kv_len, jnp.int32)
     kv_lens = jnp.full((batch,), kv_len + 1, jnp.int32)
 
-    def step(carry, params, page_table):
-        tokens, kv, positions, kv_lens = carry
-        logits, kv = decode_step(
-            params, cfg, kv, tokens, positions, page_table, kv_lens)
-        # argmax feeds the next token: a true dependent chain; positions
-        # stay fixed so shapes/pages are static across iters
-        return (jnp.argmax(logits, -1).astype(jnp.int32), kv,
-                positions, kv_lens)
+    import functools
+    import time
 
-    dt = min(
-        bench_loop(step, (tokens, kv, positions, kv_lens), params,
-                   page_table, iters=iters, reps=2)
-        for _ in range(2)
-    )
+    # bespoke in-jit loop timer: the KV cache is DONATED into the loop so
+    # only ONE multi-GB cache buffer exists (bench_loop would keep both
+    # the input and output carries alive -> OOM at 32L)
+    @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(1,))
+    def run_n(tokens, kv, positions, kv_lens, params, page_table, n):
+        def body(_, carry):
+            tokens, kv = carry
+            logits, kv = decode_step(
+                params, cfg, kv, tokens, positions, page_table, kv_lens,
+                append_mode=append_mode)
+            return jnp.argmax(logits, -1).astype(jnp.int32), kv
+        out, kv = jax.lax.fori_loop(0, n, body, (tokens, kv))
+        return out, kv
+
+    def timed(n: int) -> float:
+        best = float("inf")
+        for _ in range(2):
+            kv_f = init_kv_cache(cfg, num_pages, page_size,
+                                 dtype=cache_dtype)
+            out, kv_f = run_n(tokens, kv_f, positions, kv_lens, params,
+                              page_table, n)
+            _ = np.asarray(out[0])  # sync
+            del kv_f
+            kv_f = init_kv_cache(cfg, num_pages, page_size,
+                                 dtype=cache_dtype)
+            t0 = time.perf_counter()
+            out, kv_f = run_n(tokens, kv_f, positions, kv_lens, params,
+                              page_table, n)
+            _ = np.asarray(out[0])
+            best = min(best, time.perf_counter() - t0)
+            del kv_f
+        return best
+
+    dt = max((timed(iters) - timed(1)) / (iters - 1), 1e-9)
     toks = batch / dt
     return {
         "routine": "model_decode",
         "config": f"{num_layers}L-8B{'-fp8' if fp8_weights else ''}"
-                  f"{'-fp8kv' if fp8_cache else ''} b{batch} kv{kv_len}",
+                  f"-{kv_dtype}kv-{append_mode} b{batch} kv{kv_len}",
         "ms_per_step": round(dt * 1e3, 3),
         "metric": "tokens/s/chip", "value": round(toks, 1),
     }
@@ -72,15 +95,14 @@ def bench_model_ttft(
 ) -> dict:
     """p50 time-to-first-token: full prefill of one prompt + logits."""
     from flashinfer_tpu.models.llama import (
-        LlamaConfig, init_params, prefill, quantize_params, _mm,
+        LlamaConfig, init_params, init_params_quantized, prefill, _mm,
     )
-    from flashinfer_tpu.ops.norm import rmsnorm
 
     cfg = LlamaConfig(num_layers=num_layers)
-    params = init_params(jax.random.PRNGKey(0), cfg)
     if fp8_weights:
-        params = quantize_params(params, cfg)
-        params = jax.tree.map(jax.device_put, params)
+        params = init_params_quantized(jax.random.PRNGKey(0), cfg)
+    else:
+        params = init_params(jax.random.PRNGKey(0), cfg)
     tokens = jnp.zeros((prompt_len,), jnp.int32)
     qo = np.asarray([0, prompt_len], np.int64)
 

@@ -100,10 +100,14 @@ class BatchDecodeWithPagedKVCacheWrapper:
         paged_kv_indices_buffer: Any = None,
         paged_kv_last_page_len_buffer: Any = None,
         backend: str = "auto",
+        jit_args: Any = None,
     ) -> None:
         del float_workspace_buffer, use_tensor_cores, backend
         del paged_kv_indptr_buffer, paged_kv_indices_buffer
         del paged_kv_last_page_len_buffer
+        from .prefill import _as_variant
+
+        self._variant = _as_variant(jit_args)
         self._kv_layout = check_kv_layout(kv_layout)
         self._fixed_shapes = bool(use_cuda_graph)
         self._frozen_batch: int | None = None
@@ -233,7 +237,7 @@ class BatchDecodeWithPagedKVCacheWrapper:
                 window_left=p["window_left"],
                 k_scale=float(k_scale) if k_scale is not None else 1.0,
                 v_scale=float(v_scale) if v_scale is not None else 1.0,
-                sinks=sinks, interpret=interpret,
+                sinks=sinks, variant=self._variant, interpret=interpret,
             )
             if return_lse:
                 return out, lse
@@ -262,6 +266,7 @@ class BatchDecodeWithPagedKVCacheWrapper:
             k_scale=float(k_scale) if k_scale is not None else 1.0,
             v_scale=float(v_scale) if v_scale is not None else 1.0,
             sinks=sinks,
+            variant=self._variant,
             interpret=interpret,
         )
         if return_lse:

@@ -191,6 +191,14 @@ def paged_mla_attention(
     return out, lse[:, 0]
 
 
+def pad_src_inv(p):
+    """Padded-row index of each ragged token (valid rows in order)."""
+    if "_inv" not in p:
+        valid = np.asarray(p["pad_valid"])
+        p["_inv"] = jnp.asarray(np.nonzero(valid)[0].astype(np.int32))
+    return p["_inv"]
+
+
 class BatchMLAPagedAttentionWrapper:
     """MLA paged attention with the plan/run protocol (mla/_core.py:1962).
 
@@ -224,15 +232,26 @@ class BatchMLAPagedAttentionWrapper:
         use_profiler: bool = False,
     ) -> None:
         del q_data_type, kv_data_type, use_profiler
+        from ...utils import cdiv
+        from .pallas_mla import build_mla_work_plan
+
         qo = np.asarray(qo_indptr, np.int64)
-        q_lens = np.diff(qo)
+        q_lens = np.diff(qo) if len(qo) > 1 else np.asarray([1])
         batch = len(qo) - 1
-        if batch > 0 and not (q_lens == q_lens[0]).all():
-            raise NotImplementedError(
-                "uniform q_len per request required (reference MLA decode "
-                "contract for the paged-decode path)"
-            )
-        q_len = int(q_lens[0]) if batch else 1
+        qmax = int(q_lens.max()) if batch else 1
+        # q-tile size: decode TQ=1 (one token x 128 heads of MXU rows);
+        # speculative/prefill tiles pack up to 4 tokens
+        tq = 1 if qmax <= 1 else min(4, qmax)
+        qmax_pad = cdiv(qmax, tq) * tq
+        w_req, w_tile = build_mla_work_plan(q_lens, tq)
+        # padded-q gather map (host): token t of request b -> padded row
+        pad_src = np.zeros(batch * qmax_pad, np.int64)
+        pad_valid = np.zeros(batch * qmax_pad, bool)
+        for b in range(batch):
+            ql = int(q_lens[b])
+            pad_src[b * qmax_pad:b * qmax_pad + ql] = np.arange(
+                qo[b], qo[b] + ql)
+            pad_valid[b * qmax_pad:b * qmax_pad + ql] = True
         table = build_dense_page_table(
             np.asarray(kv_indptr, np.int32), np.asarray(kv_indices, np.int32)
         )
@@ -241,8 +260,13 @@ class BatchMLAPagedAttentionWrapper:
         self._plan = dict(
             num_heads=num_heads, head_dim_ckv=head_dim_ckv,
             head_dim_kpe=head_dim_kpe, page_size=page_size,
-            causal=bool(causal), sm_scale=float(sm_scale), q_len=q_len,
-            batch=batch,
+            causal=bool(causal), sm_scale=float(sm_scale),
+            batch=batch, qmax_pad=qmax_pad, tq=tq,
+            total_q=int(qo[-1]) if batch else 0,
+            w_req=w_req, w_tile=w_tile,
+            q_lens=jnp.asarray(q_lens.astype(np.int32)),
+            pad_src=jnp.asarray(pad_src.astype(np.int32)),
+            pad_valid=jnp.asarray(pad_valid),
         )
 
     def run(
@@ -262,26 +286,65 @@ class BatchMLAPagedAttentionWrapper:
     ):
         if self._plan is None:
             raise RuntimeError("call plan() before run()")
+        from .pallas_mla import mla_stream
+
+        p = self._plan
+        if (resolve_interpret(interpret) and p["qmax_pad"] == p["tq"]
+                and p["batch"] > 0
+                and p["total_q"] == p["batch"] * p["qmax_pad"]):
+            # uniform q_len under the interpreter: the BlockSpec kernel is
+            # an independent reference implementation and emulates much
+            # faster than the streaming kernel's DMA pipeline
+            return self._run_blockspec(
+                q_nope, q_pe, ckv_cache, kpe_cache,
+                return_lse=return_lse, ckv_scale=ckv_scale,
+                kpe_scale=kpe_scale, interpret=interpret)
+        h, d_ckv, d_kpe = p["num_heads"], p["head_dim_ckv"], p["head_dim_kpe"]
+        batch, qmax_pad, tq = p["batch"], p["qmax_pad"], p["tq"]
+        # ragged [total_q, H, D] -> padded token-major rows
+        # [B, qmax_pad*H, D_ckv + D_kpe]
+        pad_src, pad_valid = p["pad_src"], p["pad_valid"]
+        qn = (q_nope[pad_src]
+              * pad_valid[:, None, None].astype(q_nope.dtype))
+        qp = (q_pe[pad_src]
+              * pad_valid[:, None, None].astype(q_pe.dtype))
+        q = jnp.concatenate([qn, qp], axis=-1).reshape(
+            batch, qmax_pad * h, d_ckv + d_kpe)
+        o, lse_out = mla_stream(
+            q, ckv_cache, kpe_cache, self._page_table, self._kv_lens,
+            p["q_lens"], p["w_req"], p["w_tile"],
+            num_heads=h, tq=tq, head_dim_ckv=d_ckv,
+            sm_scale=p["sm_scale"], causal=p["causal"],
+            ckv_scale=float(ckv_scale or 1.0),
+            kpe_scale=float(kpe_scale or 1.0),
+            interpret=interpret,
+        )
+        o = o.reshape(batch * qmax_pad, h, d_ckv)[pad_src_inv(p)]
+        lse_out = lse_out.reshape(batch * qmax_pad, h)[pad_src_inv(p)]
+        if return_lse:
+            return o, lse_out
+        return o
+
+    def _run_blockspec(self, q_nope, q_pe, ckv_cache, kpe_cache, *,
+                       return_lse, ckv_scale, kpe_scale, interpret):
         p = self._plan
         h, d_ckv, d_kpe = p["num_heads"], p["head_dim_ckv"], p["head_dim_kpe"]
-        q_len, batch = p["q_len"], p["batch"]
-        # [B*q_len, H, D] → [B, q_len*H, D] with token-major rows
+        q_len, batch = p["qmax_pad"], p["batch"]
         qn = q_nope.reshape(batch, q_len * h, d_ckv)
         qp = q_pe.reshape(batch, q_len * h, d_kpe)
         q = jnp.concatenate([qn, qp], axis=-1)
         if ckv_cache.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
             kv = jnp.concatenate(
-                [ckv_cache.astype(jnp.bfloat16), kpe_cache.astype(jnp.bfloat16)],
-                axis=-1,
-            )
+                [ckv_cache.astype(jnp.bfloat16),
+                 kpe_cache.astype(jnp.bfloat16)], axis=-1)
         else:
             kv = jnp.concatenate([ckv_cache, kpe_cache], axis=-1)
         o, lse_out = paged_mla_attention(
             q, kv, self._page_table, self._kv_lens,
             num_heads=h, q_len=q_len, head_dim_ckv=d_ckv,
             sm_scale=p["sm_scale"], causal=p["causal"],
-            ckv_scale=float(ckv_scale or 1.0), kpe_scale=float(kpe_scale or 1.0),
-            interpret=interpret,
+            ckv_scale=float(ckv_scale or 1.0),
+            kpe_scale=float(kpe_scale or 1.0), interpret=interpret,
         )
         o = o.reshape(batch * q_len, h, d_ckv)
         lse_out = lse_out.reshape(batch * q_len, h)

@@ -193,6 +193,7 @@ def _decode_kernel_v2(
     use_sinks: bool,
     combined: bool = False,
     inject_new: bool = False,
+    variant=None,  # AttentionVariant hook points (variants.py)
 ):
     # optional aliased cache-output ref precedes the 4 scratch entries
     k_buf, v_buf, sem, append_sem = rest[-4:]
@@ -268,9 +269,22 @@ def _decode_kernel_v2(
     # path with f32 accumulation (FA2 convention).
     kv_dtype = k_buf.dtype
     compute_dtype = jnp.float32 if kv_dtype == jnp.float32 else jnp.bfloat16
-    q = (
-        q_ref[0].astype(jnp.float32) * (sm_scale * k_scale)
-    ).astype(compute_dtype)  # [rows, D]
+
+    from .variants import VariantInfo
+
+    def make_info(kv_pos=None, chunk_start=0):
+        return VariantInfo(
+            q_token=jnp.full((rows, 1), kv_len - 1, jnp.int32),
+            kv_pos=kv_pos, kv_len=kv_len, qo_len=jnp.int32(1),
+            sm_scale=sm_scale, chunk_start=chunk_start,
+        )
+
+    q_raw = q_ref[0].astype(jnp.float32)
+    if variant is not None and variant.query_transform is not None:
+        q_raw = variant.query_transform(q_raw, make_info()) * k_scale
+    else:
+        q_raw = q_raw * (sm_scale * k_scale)
+    q = q_raw.astype(compute_dtype)  # [rows, D]
 
     def body(chunk, carry):
         m_prev, l_prev, acc = carry  # [rows,1],[rows,1],[rows,D]
@@ -287,6 +301,12 @@ def _decode_kernel_v2(
         else:
             k = k_buf[slot].reshape(chunk_tokens, num_kv_heads * d)
             v = v_buf[slot].reshape(chunk_tokens, num_kv_heads * d)
+        if variant is not None and variant.key_transform is not None:
+            kpos = chunk * chunk_tokens + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk_tokens, 1), 0)
+            k = variant.key_transform(
+                k.astype(jnp.float32),
+                make_info(kv_pos=kpos, chunk_start=chunk * chunk_tokens))
         if k.dtype != compute_dtype:  # fp8 KV: upcast once to bf16 (MXU in)
             k = k.astype(compute_dtype)
             v = v.astype(compute_dtype)
@@ -315,12 +335,25 @@ def _decode_kernel_v2(
         # phase 2 (VPU): one masked online-softmax pass over ALL heads
         if logits_soft_cap > 0.0:
             s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+        if variant is not None:
+            info = make_info(kv_pos=pos, chunk_start=chunk * chunk_tokens)
+            if variant.logits_transform is not None:
+                s = variant.logits_transform(s, info)
+            if variant.logits_mask is not None:
+                mask = jnp.logical_and(mask, variant.logits_mask(info))
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-        m_cur = jnp.max(s, axis=1, keepdims=True)  # [rows,1]
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        p = jnp.where(mask, p, 0.0)
-        l_cur = jnp.sum(p, axis=1, keepdims=True)
+        if variant is not None and not variant.use_softmax:
+            p = jnp.where(mask, s, 0.0)
+            m_new, l_cur = m_prev, jnp.zeros_like(l_prev)
+        elif variant is not None and variant.update_m_d is not None:
+            m_new, l_new_v, p = variant.update_m_d(m_prev, l_prev, s, info)
+            l_cur = l_new_v - l_prev * jnp.exp(m_prev - m_new)
+        else:
+            m_cur = jnp.max(s, axis=1, keepdims=True)  # [rows,1]
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            p = jnp.where(mask, p, 0.0)
+            l_cur = jnp.sum(p, axis=1, keepdims=True)
         p_c = p.astype(compute_dtype)
 
         # phase 3 (MXU): per-head P·V tiles (FA2 bf16-P convention)
@@ -377,7 +410,15 @@ def _decode_kernel_v2(
     # empty request (kv_len == 0): chunk 0 is processed but fully masked,
     # so l == 0 and the output is zeros with lse == -inf, as required
     o_scale = v_scale if v_scale != 1.0 else 1.0
-    o_ref[0] = (acc * o_scale / l_safe).astype(o_ref.dtype)
+    if variant is not None and not variant.use_softmax:
+        o = acc * o_scale  # raw sum(s @ v): no normalization
+        l = jnp.ones_like(l)
+        l_safe = l
+    else:
+        o = acc * o_scale / l_safe
+    if variant is not None and variant.output_transform is not None:
+        o = variant.output_transform(o, make_info())
+    o_ref[0] = o.astype(o_ref.dtype)
     lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
     lse_ref[0] = jnp.broadcast_to(lse, (rows, 128)).astype(lse_ref.dtype)
 
@@ -386,7 +427,7 @@ def _decode_kernel_v2(
     jax.jit,
     static_argnames=(
         "sm_scale", "logits_soft_cap", "window_left", "k_scale", "v_scale",
-        "interpret", "kernel_impl",
+        "interpret", "kernel_impl", "variant",
     ),
 )
 def paged_decode_attention(
@@ -404,6 +445,7 @@ def paged_decode_attention(
     sinks: jax.Array | None = None,  # [H_q]
     interpret: bool | None = None,
     kernel_impl: str = "auto",
+    variant=None,  # AttentionVariant hook points (variants.py)
 ) -> tuple[jax.Array, jax.Array]:
     """Batched paged-KV decode attention.
 
@@ -418,7 +460,11 @@ def paged_decode_attention(
     """
     interp = resolve_interpret(interpret)
     if kernel_impl == "auto":
-        kernel_impl = "blockspec" if interp else "streaming"
+        # variants are implemented in the streaming kernel (it runs fine
+        # under the interpreter too)
+        kernel_impl = (
+            "blockspec" if interp and variant is None else "streaming"
+        )
     if kernel_impl == "blockspec":
         return paged_decode_attention_blockspec(
             q, k_cache, v_cache, page_table, kv_lens,
@@ -467,7 +513,7 @@ def paged_decode_attention(
         chunk_pages=chunk_pages, g8=g8,
         sm_scale=float(sm_scale), logits_soft_cap=float(logits_soft_cap),
         window_left=int(window_left), k_scale=float(k_scale),
-        v_scale=float(v_scale), use_sinks=use_sinks,
+        v_scale=float(v_scale), use_sinks=use_sinks, variant=variant,
     )
     positions_dummy = jnp.zeros((batch,), jnp.int32)
     knew_dummy = jnp.zeros((1, 1, num_kv_heads * head_dim), k_cache.dtype)
@@ -522,7 +568,7 @@ def paged_decode_attention(
     jax.jit,
     static_argnames=(
         "sm_scale", "logits_soft_cap", "window_left", "k_scale", "v_scale",
-        "interpret",
+        "interpret", "variant",
     ),
 )
 def paged_decode_attention_combined(
@@ -538,6 +584,7 @@ def paged_decode_attention_combined(
     v_scale: float = 1.0,
     sinks: jax.Array | None = None,
     interpret: bool | None = None,
+    variant=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Streaming decode over the reference's combined 5-D cache layout
     ([pages, 2, ...], decode.py:1841): k and v of a page ride ONE DMA —
@@ -583,7 +630,8 @@ def paged_decode_attention_combined(
         head_dim=head_dim, page_size=page_size, chunk_pages=chunk_pages,
         sm_scale=float(sm_scale), logits_soft_cap=float(logits_soft_cap),
         window_left=int(window_left), k_scale=float(k_scale),
-        v_scale=float(v_scale), use_sinks=use_sinks, interpret=interpret,
+        v_scale=float(v_scale), use_sinks=use_sinks, variant=variant,
+        interpret=interpret,
     )
 
 
@@ -593,12 +641,14 @@ def _combined_call(
     logits_soft_cap, window_left, k_scale, v_scale, use_sinks, interpret,
     alias_cache: bool = False,
     inject_kv: tuple | None = None,  # (k_new [B, Hkv*D], v_new [B, Hkv*D])
+    variant=None,
 ):
     inject_new = inject_kv is not None
-    if inject_new:
-        assert k_scale == 1.0 and v_scale == 1.0, (
-            "inject mode takes unquantized new-token rows"
-        )
+    if inject_new and (k_scale != 1.0 or v_scale != 1.0):
+        # q is pre-scaled by sm_scale*k_scale and the epilogue multiplies
+        # by v_scale (cache dequant folds); the injected rows are
+        # UNQUANTIZED, so pre-divide them to cancel those folds
+        inject_kv = (inject_kv[0] / k_scale, inject_kv[1] / v_scale)
     kernel = functools.partial(
         _decode_kernel_v2,
         num_kv_heads=num_kv_heads, head_dim=head_dim, page_size=page_size,
@@ -606,6 +656,7 @@ def _combined_call(
         sm_scale=sm_scale, logits_soft_cap=logits_soft_cap,
         window_left=window_left, k_scale=k_scale, v_scale=v_scale,
         use_sinks=use_sinks, combined=True, inject_new=inject_new,
+        variant=variant,
     )
     positions = jnp.zeros((batch,), jnp.int32)
     if inject_new:
@@ -681,23 +732,93 @@ def _combined_call(
 
 
 def _append_rows_kernel(
-    entries_ref,  # [B] i32 (SMEM): flat page row per request
-    offs_ref,  # [B] i32 (SMEM): token offset within the page
-    kv_ref,  # [1, 2, ps, Hkv*D] VMEM: the request's page (both planes)
-    knew_ref,  # [1, 1, Hkv*D] VMEM
-    vnew_ref,  # [1, 1, Hkv*D] VMEM
-    out_ref,  # aliased to kv_ref's buffer: same block, written back
+    entries_ref,  # [B_pad] i32 (SMEM): flat page row per request
+    offs_ref,  # [B_pad] i32 (SMEM): token offset within the page
+    knew_ref,  # [B_pad, Hkv*D] VMEM
+    vnew_ref,  # [B_pad, Hkv*D] VMEM
+    cache_ref,  # ANY [rows, 2, ps, Hkv*D] — aliased input
+    out_ref,  # ANY, aliased to cache_ref's buffer
+    buf,  # [2, G, 2, ps, Hkv*D] VMEM scratch
+    sem_in,  # DMA [2, G]
+    sem_out,  # DMA [2, G]
     *,
     page_size: int,
+    group: int,
+    batch: int,
 ):
-    b = pl.program_id(0)
-    row = (
-        jax.lax.broadcasted_iota(jnp.int32, (page_size, 1), 0) == offs_ref[b]
-    )
-    out_ref[0, 0] = jnp.where(row, knew_ref[0].astype(out_ref.dtype),
-                              kv_ref[0, 0])
-    out_ref[0, 1] = jnp.where(row, vnew_ref[0].astype(out_ref.dtype),
-                              kv_ref[0, 1])
+    """Single-launch batched page append: read-modify-write G pages per
+    pipelined iteration via manual DMA (the per-request-grid version spent
+    1.3 us of fixed grid cost per 2 KB row — 4 ms/step at batch 96 x 32L).
+    """
+    n_groups = (batch + group - 1) // group
+
+    def issue_in(i, slot):
+        for g in range(group):
+            idx = i * group + g
+            if idx >= batch:
+                break
+            pltpu.make_async_copy(
+                out_ref.at[entries_ref[idx]], buf.at[slot, g],
+                sem_in.at[slot, g],
+            ).start()
+
+    def wait_in(i, slot):
+        for g in range(group):
+            idx = i * group + g
+            if idx >= batch:
+                break
+            pltpu.make_async_copy(
+                out_ref.at[0], buf.at[slot, g], sem_in.at[slot, g]
+            ).wait()
+
+    def issue_out(i, slot):
+        for g in range(group):
+            idx = i * group + g
+            if idx >= batch:
+                break
+            pltpu.make_async_copy(
+                buf.at[slot, g], out_ref.at[entries_ref[idx]],
+                sem_out.at[slot, g],
+            ).start()
+
+    def wait_out(i, slot):
+        for g in range(group):
+            idx = i * group + g
+            if idx >= batch:
+                break
+            pltpu.make_async_copy(
+                buf.at[slot, g], out_ref.at[0], sem_out.at[slot, g]
+            ).wait()
+
+    issue_in(0, 0)
+    for i in range(n_groups):
+        slot = i % 2
+        if i + 1 < n_groups:
+            if i >= 1:
+                # the next group's DMA-in reuses slot 1-slot: its previous
+                # write-back (group i-1) must have drained first
+                wait_out(i - 1, 1 - slot)
+            issue_in(i + 1, 1 - slot)
+        wait_in(i, slot)
+        for g in range(group):
+            idx = i * group + g
+            if idx >= batch:
+                break
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, (page_size, 1), 0)
+                == offs_ref[idx]
+            )
+            buf[slot, g, 0] = jnp.where(
+                row, knew_ref[idx][None, :].astype(buf.dtype),
+                buf[slot, g, 0])
+            buf[slot, g, 1] = jnp.where(
+                row, vnew_ref[idx][None, :].astype(buf.dtype),
+                buf[slot, g, 1])
+        issue_out(i, slot)
+    # all write-backs must land before the kernel (and the aliased buffer)
+    # is considered complete; groups up to n-3 were waited at slot reuse
+    for i in range(max(n_groups - 2, 0), n_groups):
+        wait_out(i, i % 2)
 
 
 def paged_append_rows(
@@ -705,53 +826,55 @@ def paged_append_rows(
     entries: jax.Array,  # [B] i32 flat page row of each request
     offs: jax.Array,  # [B] i32 token offset within that page
     k_new: jax.Array,  # [B, Hkv*D]
-    v_new: jax.Array,  # [B, Hkv*D]
+    v_new: jax.Array,
     *,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Write one new token row per request into the combined flat cache
-    IN PLACE (aliased Pallas read-modify-write of the owning page).
+    IN PLACE (aliased Pallas read-modify-write of the owning pages).
 
-    This is the TPU analog of the reference's AppendPagedKVCache kernel
-    (page.cuh): called right before the attention kernel that reads the
-    cache, the alias chain `cache -> append -> attention` is a linear
-    ownership chain, so XLA never copies the multi-GB buffer (an XLA
-    scatter with any later reader forces a full-cache copy — measured
-    13 ms on a 2 GB cache).  A single bf16 token row cannot be DMA-sliced
-    (sublane tiling), so the kernel rewrites the whole page with the row
-    folded in via a masked select (~page_size/1 write amplification, but
-    pages are tiny relative to the attention sweep).
+    TPU analog of the reference's AppendPagedKVCache kernel (page.cuh):
+    called right before the attention kernel that reads the cache, the
+    alias chain `cache -> append -> attention` is a linear ownership chain,
+    so XLA never copies the multi-GB buffer (an XLA scatter with any later
+    reader forces a full-cache copy — measured 13 ms on a 2 GB cache). A
+    single token row cannot be DMA-sliced (sublane tiling), so each owning
+    page is rewritten with the row folded in via a masked select.
 
     Requests must own distinct pages (true for decode batches).
     """
     batch = entries.shape[0]
     page_size = kv_flat.shape[2]
     hd = kv_flat.shape[3]
-    kernel = functools.partial(_append_rows_kernel, page_size=page_size)
+    group = min(8, batch)
+    kernel = functools.partial(
+        _append_rows_kernel, page_size=page_size, group=group, batch=batch,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(batch,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, 2, page_size, hd),
-                         lambda b, ent_ref, off_ref: (ent_ref[b], 0, 0, 0)),
-            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((batch, hd), lambda i, *_: (0, 0)),
+            pl.BlockSpec((batch, hd), lambda i, *_: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 2, page_size, hd),
-            lambda b, ent_ref, off_ref: (ent_ref[b], 0, 0, 0),
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, group, 2, page_size, hd), kv_flat.dtype),
+            pltpu.SemaphoreType.DMA((2, group)),
+            pltpu.SemaphoreType.DMA((2, group)),
+        ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(kv_flat.shape, kv_flat.dtype),
-        input_output_aliases={2: 0},  # kv_flat (after 2 prefetch args)
+        input_output_aliases={4: 0},  # kv_flat (after 2 prefetch args)
         interpret=resolve_interpret(interpret),
     )(entries, offs,
-      kv_flat,
-      k_new.reshape(batch, 1, hd).astype(kv_flat.dtype),
-      v_new.reshape(batch, 1, hd).astype(kv_flat.dtype))
+      k_new.astype(kv_flat.dtype),
+      v_new.astype(kv_flat.dtype),
+      kv_flat)
 
 
 def _decode_kernel_fused(

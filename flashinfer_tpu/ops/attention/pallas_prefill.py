@@ -981,6 +981,7 @@ def _prefill_kernel_hm(
     v_scale: float,
     use_sinks: bool,
     use_alibi: bool,
+    variant=None,  # AttentionVariant: the six traced hook points
 ):
     """Streaming prefill v2 (TPU production path).
 
@@ -1066,19 +1067,44 @@ def _prefill_kernel_hm(
 
     kv_dtype = k_buf.dtype
     compute_dtype = jnp.float32 if kv_dtype == jnp.float32 else jnp.bfloat16
-    q = (
-        q_ref[0].astype(jnp.float32) * (sm_scale * k_scale)
-    ).astype(compute_dtype)  # [RB, D]
 
     kv_len = work_kv_len_ref[w]
     qo_len = work_qo_len_ref[w]
     q_pos0 = work_q_pos_ref[w]
     diag = kv_len - qo_len
 
+    from .variants import VariantInfo
+
+    def make_info(chunk, kv_pos=None):
+        return VariantInfo(
+            q_token=(q_pos0 + jax.lax.broadcasted_iota(
+                jnp.int32, (rb, 1), 0) // group),
+            kv_pos=kv_pos,
+            kv_len=kv_len, qo_len=qo_len, sm_scale=sm_scale,
+            chunk_start=chunk * kb,
+        )
+
+    q_raw = q_ref[0].astype(jnp.float32)
+    if variant is not None and variant.query_transform is not None:
+        # replaces the default sm_scale pre-scale (DefaultAttention
+        # semantics); the fp8-KV dequant fold stays internal
+        q_raw = variant.query_transform(q_raw, make_info(0)) * k_scale
+    else:
+        q_raw = q_raw * (sm_scale * k_scale)
+    q = q_raw.astype(compute_dtype)  # [RB, D]
+
     # clean prefix: chunks needing NO masking for any row of this tile.
     # The final chunk always runs the masked epilogue (it is the causal
     # diagonal / kv_len edge), so cap at n_chunks - 1.
-    if use_alibi or window_left >= 0 or logits_soft_cap > 0.0:
+    variant_masks = variant is not None and (
+        variant.logits_transform is not None
+        or variant.logits_mask is not None
+        or variant.key_transform is not None
+        or variant.update_m_d is not None
+        or not variant.use_softmax
+    )
+    if use_alibi or window_left >= 0 or logits_soft_cap > 0.0 \
+            or variant_masks:
         n_clean = jnp.int32(0)
     else:
         clean_cols = kv_len
@@ -1090,8 +1116,13 @@ def _prefill_kernel_hm(
         )
         n_clean = jnp.minimum(n_clean, n_chunks - 1)
 
-    def qk(slot):
+    def qk(slot, chunk=None):
         k = k_buf[slot]
+        if variant is not None and variant.key_transform is not None:
+            kpos = chunk * kb + jax.lax.broadcasted_iota(
+                jnp.int32, (kb, 1), 0)
+            k = variant.key_transform(
+                k.astype(jnp.float32), make_info(chunk, kv_pos=kpos))
         if k.dtype != compute_dtype:
             k = k.astype(compute_dtype)
         return jax.lax.dot_general(
@@ -1128,7 +1159,24 @@ def _prefill_kernel_hm(
             if window_left >= 0:
                 mask = jnp.logical_and(
                     mask, kv_pos >= rows_tok + diag - window_left)
+            if variant is not None:
+                info = make_info(chunk, kv_pos=kv_pos)
+                if variant.logits_transform is not None:
+                    s = variant.logits_transform(s, info)
+                if variant.logits_mask is not None:
+                    mask = jnp.logical_and(mask, variant.logits_mask(info))
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        if variant is not None and not variant.use_softmax:
+            # s is already masked to DEFAULT_MASK_VALUE; re-zero for the
+            # raw accumulation
+            p = jnp.where(s <= DEFAULT_MASK_VALUE, 0.0, s)
+            acc_new = acc + pv(p, slot)
+            return m_prev, l_prev, acc_new
+        if variant is not None and variant.update_m_d is not None:
+            m_new, l_new, p = variant.update_m_d(
+                m_prev, l_prev, s, make_info(chunk))
+            acc_new = acc * jnp.exp(m_prev - m_new) + pv(p, slot)
+            return m_new, l_new, acc_new
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         # masked scores sit at DEFAULT_MASK_VALUE: exp underflows to 0.0
@@ -1154,7 +1202,7 @@ def _prefill_kernel_hm(
             # chunk c's scores — in-order VLIW overlaps them
             nslot = slot_of(c + 1)
             wait(nslot)
-            s_next = qk(nslot)
+            s_next = qk(nslot, c + 1)
             m, l, acc = update(s_cur, c, m, l, acc, slot_of(c),
                                masked=masked)
             return m, l, acc, s_next
@@ -1172,7 +1220,7 @@ def _prefill_kernel_hm(
         cross_work_issue()
 
     wait(slot_of(0))
-    s0 = qk(slot_of(0))
+    s0 = qk(slot_of(0), 0)
 
     m0 = jnp.full((rb, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((rb, 1), jnp.float32)
@@ -1195,7 +1243,13 @@ def _prefill_kernel_hm(
     row_valid = jnp.logical_and(rows_tok[:, :1] < qo_len, kv_len > 0)
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_scale = v_scale if v_scale != 1.0 else 1.0
-    o = acc * o_scale / l_safe
+    if variant is not None and not variant.use_softmax:
+        o = acc * o_scale  # raw sum(s @ v): no normalization
+        l = jnp.ones_like(l)
+    else:
+        o = acc * o_scale / l_safe
+    if variant is not None and variant.output_transform is not None:
+        o = variant.output_transform(o, make_info(0))
     o_ref[0] = jnp.where(row_valid, o, 0.0).astype(o_ref.dtype)
     lse = m + jnp.log(l_safe)
     lse = jnp.where(jnp.logical_and(row_valid, l > 0.0), lse, -jnp.inf)
@@ -1224,6 +1278,7 @@ def prefill_packed_hm(
     row_block: int = ROW_BLOCK,
     kv_block: int = KV_BLOCK,
     interpret: bool | None = None,
+    variant=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Prefill v2: per-head grid, software-pipelined chunk loop, KV
     streamed from the 8-aligned head-major pool."""
@@ -1247,6 +1302,7 @@ def prefill_packed_hm(
         logits_soft_cap=float(logits_soft_cap), window_left=int(window_left),
         k_scale=float(k_scale), v_scale=float(v_scale),
         use_sinks=bool(use_sinks), use_alibi=bool(use_alibi),
+        variant=variant,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -1304,6 +1360,7 @@ def run_prefill(
     sinks: jax.Array | None = None,  # [H_q]
     alibi_slopes: jax.Array | None = None,  # [H_q]
     custom_mask: jax.Array | None = None,  # [Tq_pad, Tkv_pad] padded mask
+    variant=None,  # AttentionVariant hook points (variants.py)
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Pack layouts, run the kernel, unpack back to ragged.
@@ -1325,10 +1382,18 @@ def run_prefill(
     kv_src = jnp.asarray(plan.kv_src, jnp.int32)
     kv_valid = jnp.asarray(plan.kv_valid)
 
+    if variant is not None and custom_mask is not None:
+        raise NotImplementedError(
+            "custom_mask with an AttentionVariant: express the mask via "
+            "variant.logits_mask instead")
+    if variant is not None and plan.work_kv_row0_d8 is None:
+        raise NotImplementedError(
+            "AttentionVariant requires a ragged-KV plan (paged plans "
+            "route through the v1 kernel)")
     use_hm = (
         plan.work_kv_row0_d8 is not None
         and custom_mask is None
-        and not resolve_interpret(interpret)
+        and (variant is not None or not resolve_interpret(interpret))
     )
 
     # pack q: [Tq_pad, H_q, D] -> [H_kv, Tq_pad*G, D] (pad instead of
@@ -1411,7 +1476,7 @@ def run_prefill(
             k: v for k, v in common.items() if k != "use_custom_mask"
         }
         out_p, lse_hm = prefill_packed_hm(
-            qp, k_hm, v_hm, aux, work_arrays, **common_hm
+            qp, k_hm, v_hm, aux, work_arrays, variant=variant, **common_hm
         )
         lse2d = lse_hm[:, :, 0]
     elif not resolve_interpret(interpret):

@@ -25,6 +25,17 @@ from ...utils import (
     unpack_paged_kv_cache,
 )
 from .pallas_prefill import PrefillPlan, build_prefill_plan, run_prefill
+from .variants import AttentionVariant
+
+
+def _as_variant(jit_args):
+    if jit_args is None:
+        return None
+    if isinstance(jit_args, AttentionVariant):
+        return jit_args
+    raise NotImplementedError(
+        "jit_args must be an AttentionVariant (C++ source injection is a "
+        "CUDA mechanism; on TPU the hooks are traced Python callables)")
 
 
 def _default_plan_kwargs(
@@ -57,11 +68,11 @@ class BatchPrefillWithRaggedKVCacheWrapper:
         jit_args: Any = None,
     ) -> None:
         del float_workspace_buffer, backend
-        if jit_args is not None:
-            raise NotImplementedError(
-                "custom attention variants: use flashinfer_tpu.ops.attention."
-                "variants hooks instead"
-            )
+        # custom attention variants: jit_args accepts an AttentionVariant
+        # (the reference injects C++ source via jit_args,
+        # jit/attention/modules.py:1599; here the hooks are Python
+        # callables traced into the Pallas kernel — variants.py)
+        self._variant = _as_variant(jit_args)
         self._kv_layout = check_kv_layout(kv_layout)
         self._plan: PrefillPlan | None = None
         self._params: dict | None = None
@@ -142,7 +153,7 @@ class BatchPrefillWithRaggedKVCacheWrapper:
             logits_soft_cap=p["logits_soft_cap"], window_left=p["window_left"],
             k_scale=float(k_scale or 1.0), v_scale=float(v_scale or 1.0),
             sinks=sinks, alibi_slopes=alibi, custom_mask=self._custom_mask,
-            interpret=interpret,
+            variant=self._variant, interpret=interpret,
         )
         if return_lse:
             return out, lse
@@ -173,8 +184,7 @@ class BatchPrefillWithPagedKVCacheWrapper:
         jit_args: Any = None,
     ) -> None:
         del float_workspace_buffer, use_cuda_graph, backend
-        if jit_args is not None:
-            raise NotImplementedError("custom attention variants")
+        self._variant = _as_variant(jit_args)
         self._kv_layout = check_kv_layout(kv_layout)
         self._plan: PrefillPlan | None = None
         self._params: dict | None = None

@@ -101,3 +101,55 @@ def test_mla_fp8_kv_runs():
     o = w.run(q_nope, q_pe, ckv, kpe, ckv_scale=1.5, kpe_scale=0.5)
     assert o.shape == (batch, h, d_ckv)
     assert bool(jnp.isfinite(o.astype(jnp.float32)).all())
+
+
+def test_mla_ragged_qlen_stream():
+    """Ragged q_len per request (speculative/prefill) through the
+    streaming kernel vs per-request dense reference."""
+    import numpy as np
+    import jax.numpy as jnp
+    from flashinfer_tpu.ops.attention.mla import (
+        BatchMLAPagedAttentionWrapper,
+    )
+
+    h, d_ckv, d_kpe, ps = 8, 128, 64, 8
+    q_lens = [3, 1, 6]
+    kv_lens = [40, 17, 23]
+    rng = np.random.default_rng(5)
+    pages_per = [-(-l // ps) for l in kv_lens]
+    total_pages = sum(pages_per)
+    ckv = jnp.asarray(
+        rng.standard_normal((total_pages, ps, d_ckv)), jnp.float32)
+    kpe = jnp.asarray(
+        rng.standard_normal((total_pages, ps, d_kpe)), jnp.float32)
+    kv_indptr = np.concatenate([[0], np.cumsum(pages_per)])
+    kv_indices = np.arange(total_pages)
+    qo_indptr = np.concatenate([[0], np.cumsum(q_lens)])
+    total_q = int(qo_indptr[-1])
+    qn = jnp.asarray(rng.standard_normal((total_q, h, d_ckv)), jnp.float32)
+    qp = jnp.asarray(rng.standard_normal((total_q, h, d_kpe)), jnp.float32)
+
+    w = BatchMLAPagedAttentionWrapper()
+    sm = 1.0 / np.sqrt(d_ckv + d_kpe)
+    w.plan(qo_indptr, kv_indptr, kv_indices, np.asarray(kv_lens), h,
+           d_ckv, d_kpe, ps, causal=True, sm_scale=sm)
+    out = w.run(qn, qp, ckv, kpe)
+
+    # dense reference per request
+    for b in range(len(q_lens)):
+        ql, kl = q_lens[b], kv_lens[b]
+        rows = np.arange(kv_indptr[b] * ps, kv_indptr[b] * ps + kl)
+        ckv_b = np.asarray(ckv).reshape(-1, d_ckv)[rows]
+        kpe_b = np.asarray(kpe).reshape(-1, d_kpe)[rows]
+        qs = slice(int(qo_indptr[b]), int(qo_indptr[b + 1]))
+        qnb, qpb = np.asarray(qn)[qs], np.asarray(qp)[qs]
+        s = (np.einsum("qhd,kd->hqk", qnb, ckv_b)
+             + np.einsum("qhd,kd->hqk", qpb, kpe_b)) * sm
+        pos = np.arange(kl)[None, :]
+        limit = (kl - ql + 1 + np.arange(ql))[:, None]
+        s = np.where(pos < limit, s, -np.inf)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        ref = np.einsum("hqk,kd->qhd", p, ckv_b)
+        np.testing.assert_allclose(
+            np.asarray(out)[qs], ref, rtol=2e-3, atol=2e-3)
