@@ -57,7 +57,7 @@ def main() -> None:
 
     sys.path.insert(0, ".")
     from benchmarks.routines.attention import (
-        bench_decode_attention, bench_prefill_attention,
+        bench_decode_attention, bench_mla_decode, bench_prefill_attention,
     )
     from benchmarks.routines.gemm import (
         bench_mm_bf16, bench_mm_fp8_groupwise,
@@ -68,6 +68,7 @@ def main() -> None:
     )
 
     _extra("prefill_attention_tflops", bench_prefill_attention)
+    _extra("mla_decode_bw", bench_mla_decode)
     _extra("gemm_bf16_tflops", bench_mm_bf16)
     _extra("gemm_fp8_tflops", bench_mm_fp8_groupwise)
     _extra("moe_tflops", bench_fused_moe)

@@ -103,16 +103,15 @@ def bench_mla_decode(
     pages_per = kv_len // page_size
     num_pages = batch * pages_per
     rng = np.random.default_rng(0)
+    # combined [pages, ps, 512 + 128] layout (ckv | lane-padded kpe): one
+    # DMA per page — the descriptor-issue rate is the measured bottleneck
+    dpp = ((d_kpe + 127) // 128) * 128
+    shape = (num_pages, page_size, d_ckv + dpp)
     if cache_dt == jnp.int8:
-        ckv = jnp.asarray(rng.integers(-127, 127,
-                          (num_pages, page_size, d_ckv)), cache_dt)
-        kpe = jnp.asarray(rng.integers(-127, 127,
-                          (num_pages, page_size, d_kpe)), cache_dt)
+        ckv = jnp.asarray(rng.integers(-127, 127, shape), cache_dt)
     else:
-        ckv = jnp.asarray(rng.standard_normal(
-            (num_pages, page_size, d_ckv)), cache_dt)
-        kpe = jnp.asarray(rng.standard_normal(
-            (num_pages, page_size, d_kpe)), cache_dt)
+        ckv = jnp.asarray(rng.standard_normal(shape), cache_dt)
+    kpe = None
     qn = jnp.asarray(rng.standard_normal((batch, num_heads, d_ckv)),
                      jnp.bfloat16)
     qp = jnp.asarray(rng.standard_normal((batch, num_heads, d_kpe)),
@@ -136,9 +135,11 @@ def bench_mla_decode(
         o, qp_cur = step(qn_cur, qp_cur, ckv, kpe)
         return o, qp_cur
 
-    dt = min(bench_loop(step2, (qn, qp), ckv, kpe, iters=16)
+    # one iteration reads only ~75 MB (~90 us): run enough iterations
+    # that the in-loop delta clears the tunnel's 25-90 ms RTT jitter
+    dt = min(bench_loop(step2, (qn, qp), ckv, kpe, iters=128)
              for _ in range(3))
-    kv_bytes = (batch * kv_len * (d_ckv + d_kpe)
+    kv_bytes = (batch * kv_len * (d_ckv + dpp)
                 * jnp.dtype(cache_dt).itemsize)
     gbs = kv_bytes / dt / 1e9
     return {

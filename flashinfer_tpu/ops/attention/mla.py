@@ -191,14 +191,6 @@ def paged_mla_attention(
     return out, lse[:, 0]
 
 
-def pad_src_inv(p):
-    """Padded-row index of each ragged token (valid rows in order)."""
-    if "_inv" not in p:
-        valid = np.asarray(p["pad_valid"])
-        p["_inv"] = jnp.asarray(np.nonzero(valid)[0].astype(np.int32))
-    return p["_inv"]
-
-
 class BatchMLAPagedAttentionWrapper:
     """MLA paged attention with the plan/run protocol (mla/_core.py:1962).
 
@@ -267,6 +259,10 @@ class BatchMLAPagedAttentionWrapper:
             q_lens=jnp.asarray(q_lens.astype(np.int32)),
             pad_src=jnp.asarray(pad_src.astype(np.int32)),
             pad_valid=jnp.asarray(pad_valid),
+            # padded-row index of each ragged token (computed host-side at
+            # plan time: creating it lazily inside a traced run() leaks a
+            # tracer into the plan cache)
+            inv=jnp.asarray(np.nonzero(pad_valid)[0].astype(np.int32)),
         )
 
     def run(
@@ -319,8 +315,8 @@ class BatchMLAPagedAttentionWrapper:
             kpe_scale=float(kpe_scale or 1.0),
             interpret=interpret,
         )
-        o = o.reshape(batch * qmax_pad, h, d_ckv)[pad_src_inv(p)]
-        lse_out = lse_out.reshape(batch * qmax_pad, h)[pad_src_inv(p)]
+        o = o.reshape(batch * qmax_pad, h, d_ckv)[p["inv"]]
+        lse_out = lse_out.reshape(batch * qmax_pad, h)[p["inv"]]
         if return_lse:
             return o, lse_out
         return o

@@ -62,8 +62,8 @@ def _mla_stream_kernel(
     page_table_ref,  # [B, max_pages]
     # inputs
     q_ref,  # [1, TQ*H, D_ckv + D_kpe] VMEM (auto-pipelined)
-    ckv_hbm_ref,  # [pages, ps, D_ckv] ANY
-    kpe_hbm_ref,  # [pages, ps, D_kpe] ANY
+    ckv_hbm_ref,  # [pages, ps, D_ckv] ANY; combined: [pages, ps, D_c+D_p]
+    kpe_hbm_ref,  # [pages, ps, D_kpe] ANY (dummy when combined)
     # outputs
     o_ref,  # [1, TQ*H, D_ckv]
     lse_ref,  # [1, TQ*H, 8]
@@ -82,6 +82,7 @@ def _mla_stream_kernel(
     causal: bool,
     ckv_scale: float,
     kpe_scale: float,
+    combined: bool,
 ):
     w = pl.program_id(0)
     num_w = pl.num_programs(0)
@@ -122,18 +123,22 @@ def _mla_stream_kernel(
             pltpu.make_async_copy(
                 ckv_hbm_ref.at[page], ckv_buf.at[slot, j], sem.at[slot, j, 0]
             ).start()
-            pltpu.make_async_copy(
-                kpe_hbm_ref.at[page], kpe_buf.at[slot, j], sem.at[slot, j, 1]
-            ).start()
+            if not combined:  # combined layout: ckv+kpe ride ONE dma
+                pltpu.make_async_copy(
+                    kpe_hbm_ref.at[page], kpe_buf.at[slot, j],
+                    sem.at[slot, j, 1],
+                ).start()
 
     def wait(slot):
         for j in range(chunk_pages):
             pltpu.make_async_copy(
                 ckv_hbm_ref.at[0], ckv_buf.at[slot, j], sem.at[slot, j, 0]
             ).wait()
-            pltpu.make_async_copy(
-                kpe_hbm_ref.at[0], kpe_buf.at[slot, j], sem.at[slot, j, 1]
-            ).wait()
+            if not combined:
+                pltpu.make_async_copy(
+                    kpe_hbm_ref.at[0], kpe_buf.at[slot, j],
+                    sem.at[slot, j, 1],
+                ).wait()
 
     n_chunks = n_chunks_of(w)
 
@@ -171,8 +176,12 @@ def _mla_stream_kernel(
     n_clean = jnp.minimum(n_clean, n_chunks - 1)
 
     def qk(slot):
-        ckv = ckv_buf[slot].reshape(ct, dc)
-        kpe = kpe_buf[slot].reshape(ct, dp)
+        if combined:
+            kv = ckv_buf[slot].reshape(ct, dc + dp)
+            ckv, kpe = kv[:, :dc], kv[:, dc:]
+        else:
+            ckv = ckv_buf[slot].reshape(ct, dc)
+            kpe = kpe_buf[slot].reshape(ct, dp)
         if ckv.dtype != compute_dtype:
             ckv = ckv.astype(compute_dtype)
             kpe = kpe.astype(compute_dtype)
@@ -187,7 +196,10 @@ def _mla_stream_kernel(
         return s  # [rows, ct]
 
     def pv(p, slot):
-        v = ckv_buf[slot].reshape(ct, dc)
+        if combined:
+            v = ckv_buf[slot].reshape(ct, dc + dp)[:, :dc]
+        else:
+            v = ckv_buf[slot].reshape(ct, dc)
         if v.dtype != compute_dtype:
             v = v.astype(compute_dtype)
         return jax.lax.dot_general(
@@ -290,23 +302,45 @@ def mla_stream(
     """Run the streaming MLA kernel; returns (o [B, qmax*H, D_ckv],
     lse [B, qmax*H])."""
     batch, rows_total, d_total = q.shape
-    _, page_size, dc = ckv_cache.shape
+    _, page_size, cache_d = ckv_cache.shape
+    combined = kpe_cache is None
+    dc = head_dim_ckv
     dp = d_total - head_dim_ckv
+    if dp % 128:
+        # Mosaic DMA slices must be 128-lane aligned: zero-pad the pe dims
+        # (zeros contribute nothing to q_pe . kpe scores)
+        dp_pad = ((dp + 127) // 128) * 128
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, dp_pad - dp)))
+        if combined:
+            if cache_d != head_dim_ckv + dp_pad:
+                raise ValueError(
+                    "combined MLA cache must be lane-padded: last dim "
+                    f"{cache_d} vs required {head_dim_ckv + dp_pad}")
+        else:
+            kpe_cache = jnp.pad(
+                kpe_cache, ((0, 0), (0, 0), (0, dp_pad - dp)))
+        dp = dp_pad
+        d_total = dc + dp
     rows = tq * num_heads
     num_works = w_req.shape[0]
-    chunk_pages = max(1, min(512 // page_size, 16))
+    chunk_pages = max(1, min(1024 // page_size, 16))
     max_pages = page_table.shape[1]
     pad_pages = (-max_pages) % chunk_pages
     if pad_pages:
         page_table = jnp.pad(page_table, ((0, 0), (0, pad_pages)))
 
+    if combined and cache_d != dc + dp:
+        raise ValueError(f"combined cache last dim {cache_d} != {dc + dp}")
     kernel = functools.partial(
         _mla_stream_kernel,
         num_heads=num_heads, tq=tq, head_dim_ckv=head_dim_ckv,
         head_dim_kpe=dp, page_size=page_size, chunk_pages=chunk_pages,
         sm_scale=float(sm_scale), causal=bool(causal),
         ckv_scale=float(ckv_scale), kpe_scale=float(kpe_scale),
+        combined=combined,
     )
+    if combined:
+        kpe_cache = jnp.zeros((1, 8, 128), ckv_cache.dtype)  # dummy
 
     def q_map(w, wr, wt, kl, ql, pt):
         return (wr[w], wt[w], 0)
@@ -324,8 +358,14 @@ def mla_stream(
             pl.BlockSpec((1, rows, 8), q_map),
         ],
         scratch_shapes=[
-            pltpu.VMEM((6, chunk_pages, page_size, dc), ckv_cache.dtype),
-            pltpu.VMEM((6, chunk_pages, page_size, dp), kpe_cache.dtype),
+            pltpu.VMEM(
+                (6, chunk_pages, page_size, dc + dp if combined else dc),
+                ckv_cache.dtype,
+            ),
+            pltpu.VMEM(
+                (6, chunk_pages, page_size, 8 if combined else dp),
+                kpe_cache.dtype,
+            ),
             pltpu.SemaphoreType.DMA((6, chunk_pages, 2)),
         ],
     )
