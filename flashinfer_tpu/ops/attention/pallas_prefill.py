@@ -60,6 +60,74 @@ def default_blocks() -> tuple[int, int]:
     return ROW_BLOCK, KV_BLOCK
 
 
+class _PrefillTileRunner:
+    """Autotuner runner: profiles the streaming prefill kernel over tile
+    geometries on synthetic data (reference TunableRunner contract,
+    autotuner/autotuner.py:540)."""
+
+    TACTICS = [(512, 512), (512, 1024), (1024, 512), (256, 512),
+               (1024, 1024)]
+
+    def __init__(self, qo_indptr, kv_lens, num_qo_heads, num_kv_heads,
+                 causal, kv_row_starts, tactics=None):
+        self.args = (np.asarray(qo_indptr, np.int64),
+                     np.asarray(kv_lens, np.int64))
+        self.heads = (num_qo_heads, num_kv_heads)
+        self.causal = causal
+        self.kv_row_starts = kv_row_starts
+        self.tactics = tactics or self.TACTICS
+
+    def get_valid_tactics(self, inputs=None, profile=None):
+        return list(self.tactics)
+
+    def forward(self, inputs=None, tactic=None):
+        rb, kb = tactic if tactic and tactic != -1 else self.tactics[0]
+        qo_indptr, kv_lens = self.args
+        hq, hkv = self.heads
+        total_q = int(qo_indptr[-1])
+        total_kv = int(kv_lens.sum())
+        d = 128
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((total_q, hq, d)), jnp.bfloat16)
+        k = jnp.asarray(
+            rng.standard_normal((max(total_kv, 8), hkv, d)), jnp.bfloat16)
+        plan = build_prefill_plan(
+            qo_indptr, kv_lens, hq, hkv, causal=self.causal,
+            kv_row_starts=self.kv_row_starts, row_block=rb, kv_block=kb,
+        )
+        out, _ = run_prefill(q, k, k, plan, causal=self.causal)
+        return out
+
+
+def _tuned_blocks(qo_indptr, kv_lens, num_qo_heads, num_kv_heads, causal,
+                  kv_row_starts) -> tuple[int, int]:
+    """Tile geometry from the autotuner cache (or profile inside
+    autotune()); falls back to the swept defaults. Shape key buckets
+    total_q to powers of two so serving batches reuse entries."""
+    from ...autotuner import AutoTuner
+
+    d_rb, d_kb = default_blocks()
+    if kv_row_starts is None:
+        return d_rb, d_kb  # paged plans keep the static default for now
+    tuner = AutoTuner.get()
+    if not tuner._loaded:
+        tuner.load_from_file()
+    total_q = int(np.asarray(qo_indptr)[-1])
+    key = (f"g{num_qo_heads // max(num_kv_heads, 1)}"
+           f"_q{next_power_of_2(max(total_q, 1))}_c{int(causal)}")
+    if not tuner.is_tuning:
+        hit = tuner.cache.get(f"prefill_tiles|()|{key}")
+        if hit is not None:
+            return tuple(hit[1])
+        return d_rb, d_kb
+    runner = _PrefillTileRunner(
+        qo_indptr, kv_lens, num_qo_heads, num_kv_heads, causal,
+        kv_row_starts)
+    _, tactic = tuner.choose_one(
+        "prefill_tiles", [runner], [], cache_key_extra=key)
+    return tuple(tactic) if tactic not in (None, -1) else (d_rb, d_kb)
+
+
 @dataclass(frozen=True)
 class PrefillPlan:
     """Static-shaped plan tables for the flat-item prefill kernel.
@@ -136,9 +204,12 @@ def build_prefill_plan(
     kv_lens = np.asarray(kv_lens, np.int64)
     batch = len(qo_indptr) - 1
     group = num_qo_heads // num_kv_heads
-    d_rb, d_kb = default_blocks()
-    row_block = row_block or d_rb
-    kv_block = kv_block or d_kb
+    if row_block is None or kv_block is None:
+        t_rb, t_kb = _tuned_blocks(
+            qo_indptr, kv_lens, num_qo_heads, num_kv_heads, causal,
+            kv_row_starts)
+        row_block = row_block or t_rb
+        kv_block = kv_block or t_kb
     tq_tokens = max(1, row_block // group)  # tokens per q tile
 
     # v2 tables (ragged KV only): per-work aligned-pool row start and the

@@ -63,17 +63,6 @@ class BlockSparseAttentionWrapper:
         non_blocking: bool = True,
         block_mask: Any = None,
     ) -> None:
-        if mask is not None or packed_mask is not None:
-            raise NotImplementedError(
-                "per-element masks inside nonzero blocks: use the custom "
-                "mask path of the prefill wrappers"
-            )
-        if causal:
-            raise NotImplementedError(
-                "causal BSR needs scattered absolute kv positions; "
-                "planned for a later revision (reference default is "
-                "non-causal, sparse.py:333)"
-            )
         if N % C:
             raise ValueError("N must be divisible by C")
         indptr_h = np.asarray(indptr, np.int64)
@@ -93,6 +82,42 @@ class BlockSparseAttentionWrapper:
             qo_indptr, kv_lens, num_qo_heads, num_kv_heads,
             causal=False, page_table=page_table, page_size=C,
         )
+        # causal BSR and per-element inner-block masks (reference
+        # sparse.py:195,333): the column blocks are scattered, so causal
+        # needs each gathered column's ABSOLUTE position — built host-side
+        # at plan time into the padded custom-mask layout the kernel
+        # consumes (same mechanism as packed custom masks).
+        self._mask = None
+        if causal or mask is not None or packed_mask is not None:
+            elem = None
+            if packed_mask is not None:
+                bits = np.unpackbits(
+                    np.asarray(packed_mask, np.uint8))[: len(indices_h) * R * C]
+                elem = bits.reshape(len(indices_h), R, C).astype(bool)
+            elif mask is not None:
+                elem = np.asarray(mask, bool).reshape(-1, R, C)
+            pm = np.zeros(
+                (self._plan.tq_pad, self._plan.tkv_pad), np.float32)
+            diag = N - M
+            for i in range(mb):
+                qs = int(self._plan.q_pad_starts[i])
+                ks = int(self._plan.kv_pad_starts[i])
+                ql = int(qo_indptr[i + 1] - qo_indptr[i])
+                blocks = indices_h[indptr_h[i]:indptr_h[i + 1]]
+                if ql == 0 or len(blocks) == 0:
+                    continue
+                kv_abs = (blocks[:, None] * C
+                          + np.arange(C)[None, :]).reshape(-1)
+                q_abs = int(qo_indptr[i]) + np.arange(ql)
+                m = np.ones((ql, len(kv_abs)), bool)
+                if causal:
+                    m &= kv_abs[None, :] <= q_abs[:, None] + diag
+                if elem is not None:
+                    eb = elem[indptr_h[i]:indptr_h[i + 1]]  # [nb, R, C]
+                    eb = np.swapaxes(eb, 0, 1).reshape(R, -1)[:ql]
+                    m &= eb
+                pm[qs:qs + ql, ks:ks + len(kv_abs)] = m
+            self._mask = jnp.asarray(pm)
         self._params = dict(
             M=M, N=N, R=R, C=C,
             num_qo_heads=num_qo_heads, num_kv_heads=num_kv_heads,
@@ -120,7 +145,8 @@ class BlockSparseAttentionWrapper:
         out, lse = run_prefill(
             q, k, v, self._plan,
             sm_scale=p["sm_scale"], causal=False,
-            logits_soft_cap=p["logits_soft_cap"], interpret=interpret,
+            logits_soft_cap=p["logits_soft_cap"],
+            custom_mask=self._mask, interpret=interpret,
         )
         if return_lse:
             return out, lse

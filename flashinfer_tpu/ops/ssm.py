@@ -198,6 +198,79 @@ def _delta_rule_scan(
     return jnp.moveaxis(os, 0, 1), s_final
 
 
+def _delta_rule_chunked(
+    q: jax.Array,  # [B, T, H, K] f32
+    k: jax.Array,
+    v: jax.Array,  # [B, T, H, V] f32
+    g: jax.Array,  # [B, T, H] log-space scalar gate
+    beta: jax.Array,  # [B, T, H]
+    s0: jax.Array,  # [B, H, K, V] f32
+    scale: float,
+    chunk: int = 64,
+) -> tuple[jax.Array, jax.Array]:
+    """Chunk-parallel gated delta rule (scalar gate) — the MXU form.
+
+    Reference ships a dedicated chunked kernel family for this
+    (flashinfer/gdn_prefill.py:581, gdn_kernels/); the recurrence
+    ``S_t = d_t (I - b_t k_t k_t^T) S_{t-1} + b_t k_t v_t^T`` admits a WY
+    representation per chunk: with within-chunk cumulative log-decay gl
+    and G_{ts} = exp(gl_t - gl_s),
+
+      (I + A) R = B,  A_{ts} = b_t (k_t . k_s) G_{ts}  (strictly lower)
+                      B_t   = b_t (v_t - exp(gl_t) S_prev^T k_t)
+      o_t  = exp(gl_t) S_prev^T q_t + sum_{s<=t} G_{ts} (q_t . k_s) r_s
+      S'   = exp(gl_C) S_prev + sum_s exp(gl_C - gl_s) k_s r_s^T
+
+    so a whole chunk becomes batched [C, C] / [C, K] / [C, V] matmuls plus
+    ONE unit-lower triangular solve — sequential work drops from T rank-1
+    steps to T/C chunk steps with the state resident across the scan.
+    """
+    b, t, h, dk = q.shape
+    dv = v.shape[-1]
+    nc = t // chunk
+    c = chunk
+
+    def to_chunks(a, trail):
+        return jnp.moveaxis(
+            a.reshape(b, nc, c, h, *trail), 3, 2
+        )  # [B, NC, H, C, *]
+
+    qc = to_chunks(q, (dk,))
+    kc = to_chunks(k, (dk,))
+    vc = to_chunks(v, (dv,))
+    gc = to_chunks(g, ())
+    bc = to_chunks(beta, ())
+    tri_lower = jnp.tril(jnp.ones((c, c), bool), k=-1)
+    tri_incl = jnp.tril(jnp.ones((c, c), bool))
+    eye = jnp.eye(c, dtype=jnp.float32)
+
+    def step(s, xs):
+        qt, kt, vt, gt, bt = xs  # [B, H, C, *]
+        gl = jnp.cumsum(gt, axis=-1)  # [B, H, C]
+        gamma = jnp.exp(gl[..., :, None] - gl[..., None, :])  # [B,H,C,C]
+        kk = jnp.einsum("bhtk,bhsk->bhts", kt, kt)
+        a_mat = jnp.where(tri_lower, bt[..., :, None] * kk * gamma, 0.0)
+        pred = jnp.einsum("bhkv,bhtk->bhtv", s, kt) * jnp.exp(
+            gl)[..., None]
+        rhs = bt[..., None] * (vt - pred)
+        r = jax.scipy.linalg.solve_triangular(
+            eye + a_mat, rhs, lower=True, unit_diagonal=True)  # [B,H,C,V]
+        qk = jnp.einsum("bhtk,bhsk->bhts", qt, kt)
+        p_mat = jnp.where(tri_incl, qk * gamma, 0.0)
+        o = (jnp.einsum("bhkv,bhtk->bhtv", s, qt) * jnp.exp(gl)[..., None]
+             + jnp.einsum("bhts,bhsv->bhtv", p_mat, r)) * scale
+        k_dec = kt * jnp.exp(gl[..., -1:] - gl)[..., None]
+        s_new = s * jnp.exp(gl[..., -1])[..., None, None] + jnp.einsum(
+            "bhtk,bhtv->bhkv", k_dec, r)
+        return s_new, o
+
+    xs = tuple(jnp.moveaxis(a, 1, 0) for a in (qc, kc, vc, gc, bc))
+    s_final, os = jax.lax.scan(step, s0, xs)  # os [NC, B, H, C, V]
+    out = jnp.moveaxis(os, 0, 1)  # [B, NC, H, C, V]
+    out = jnp.moveaxis(out, 2, 3).reshape(b, t, h, dv)
+    return out, s_final
+
+
 def chunk_gated_delta_rule(
     q: jax.Array,  # [total, Hq, K] (packed varlen) or [B, T, Hq, K]
     k: jax.Array,
@@ -279,7 +352,16 @@ def chunk_gated_delta_rule(
     else:
         s0 = jnp.zeros((b, h, dk, dv), jnp.float32)
 
-    out, s_final = _delta_rule_scan(qf, kf, vf, gf, bf, s0, scale, seg_start)
+    # chunk-parallel MXU path for dense scalar-gate prefill (the scan
+    # stays for varlen packing and vector gates — see _delta_rule_chunked)
+    chunk = 64
+    if (cu_seqlens is None and gf.ndim == 3 and t >= 2 * chunk
+            and t % chunk == 0):
+        out, s_final = _delta_rule_chunked(
+            qf, kf, vf, gf, bf, s0, scale, chunk=chunk)
+    else:
+        out, s_final = _delta_rule_scan(
+            qf, kf, vf, gf, bf, s0, scale, seg_start)
     out = out.astype(v.dtype)
 
     if cu_seqlens is not None and output_final_state:

@@ -18,7 +18,13 @@ from .collectives import (  # noqa: F401
 )
 from .ulysses import UlyssesCommunicator, gather_heads, scatter_heads  # noqa: F401
 from .ring import ring_attention  # noqa: F401
-from .ep import ep_combine, ep_dispatch, moe_ep_forward  # noqa: F401
+from .ep import (  # noqa: F401
+    MoEEpLayer,
+    MoEEpRankEvictedError,
+    ep_combine,
+    ep_dispatch,
+    moe_ep_forward,
+)
 from .dcp import dcp_decode_attention, dcp_merge  # noqa: F401
 from .parallel_attention import ParallelAttention, ParallelConfig  # noqa: F401
 from .mixed_comm import (  # noqa: F401

@@ -2,17 +2,32 @@
 
 Capability parity with the reference MoE-EP runtime (flashinfer/moe_ep/ —
 Split mode dispatch→expert-compute→combine, `MoeAlltoAll`
-comm/trtllm_moe_alltoall.py, LL/HT algorithms with bounded per-rank
-buffers). TPU re-design: capacity-bounded dense all-to-all inside
-shard_map over the ``ep`` axis — the static-shape analog of the
-reference's pre-sized symmetric-memory buffers
-(MoE_benchmarks.md "128 tok/rank" == the same capacity bound). Overflow
-beyond capacity is dropped, exactly like capacity-bounded EP serving.
+comm/trtllm_moe_alltoall.py, LL/HT algorithms, fault-tolerant rank
+masking moe_ep/errors.py:20-32). TPU re-design: dense all-to-all inside
+shard_map over the ``ep`` axis with STATIC per-rank buffers — the
+static-shape analog of the reference's pre-sized symmetric-memory
+buffers (MoE_benchmarks.md "128 tok/rank" == the same capacity bound).
+
+Two algorithms (reference LL vs HT):
+* ``algo="ll"`` (latency): capacity-bounded buffers sized for the
+  expected load; over-capacity assignments are masked out and COUNTED
+  (``n_dropped`` — never silent).
+* ``algo="ht"`` (throughput): drop-free — capacity = T_local * K, the
+  worst-case skew, so no assignment can ever be lost (the TPU analog of
+  the reference HT mode's count-exchange + exact buffers: XLA collectives
+  need static shapes, so the "count exchange" collapses into the
+  worst-case bound).
+
+Fault tolerance: a boolean ``alive`` mask over ranks — assignments routed
+to masked ranks are dropped-and-counted while the collective completes on
+the full mesh (the reference masks timed-out peers the same way and the
+evicted rank raises; see MoEEpLayer).
 
 Layout: each rank owns ``E_local = num_experts / ep_size`` consecutive
-experts and ``T_local`` tokens. Dispatch routes each (token, k) assignment
-to the rank owning its expert; combine routes the expert outputs back and
-applies routing weights.
+experts and ``T_local`` tokens. Dispatch routes each (token, k)
+assignment to the rank owning its expert; the receive side is rank-major
+``[src_rank, capacity]`` and the expert-compute resorts expert-major for
+the grouped GEMM (the reference's RANK_MAJOR/EXPERT_MAJOR layouts).
 """
 
 from __future__ import annotations
@@ -21,6 +36,11 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.activation import silu_and_mul
+
+
+class MoEEpRankEvictedError(RuntimeError):
+    """This rank was masked out of the EP fleet (reference
+    moe_ep/errors.py:20): re-join via MoEEpLayer.clear_faults()."""
 
 
 def _plan_dispatch(topk_ids: jax.Array, ep_size: int, e_local: int, cap: int):
@@ -47,11 +67,15 @@ def ep_dispatch(
     *,
     num_experts: int,
     capacity: int,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    alive: jax.Array | None = None,  # [ep] bool rank-health mask
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array,
+           jax.Array]:
     """Route tokens to expert-owning ranks (inside shard_map over ``axis``).
 
     Returns ``(x_recv [ep*cap, H], expert_local [ep*cap], valid [ep*cap],
-    slot [T,K], ok [T,K])`` — the last two feed :func:`ep_combine`.
+    slot [T,K], ok [T,K], n_dropped scalar)`` — slot/ok feed
+    :func:`ep_combine`; n_dropped counts assignments lost to capacity or
+    masked ranks (0 when capacity >= T*K and all ranks alive).
     """
     ep = jax.lax.axis_size(axis)
     e_local = num_experts // ep
@@ -59,6 +83,9 @@ def ep_dispatch(
     h = hidden.shape[1]
 
     dest, slot, ok = _plan_dispatch(topk_ids, ep, e_local, capacity)
+    if alive is not None:
+        ok = jnp.logical_and(ok, alive[dest])
+    n_dropped = jnp.sum(jnp.logical_not(ok).astype(jnp.int32))
 
     send_x = jnp.zeros((ep, capacity, h), hidden.dtype)
     send_eid = jnp.full((ep, capacity), -1, jnp.int32)
@@ -80,7 +107,7 @@ def ep_dispatch(
     x_recv = x_recv.reshape(ep * capacity, h)
     eid_recv = eid_recv.reshape(ep * capacity)
     valid = eid_recv >= 0
-    return x_recv, jnp.where(valid, eid_recv, 0), valid, slot, ok
+    return x_recv, jnp.where(valid, eid_recv, 0), valid, slot, ok, n_dropped
 
 
 def ep_combine(
@@ -117,22 +144,33 @@ def moe_ep_forward(
     *,
     num_experts: int,
     capacity: int | None = None,
+    algo: str = "ht",  # "ht" = drop-free worst-case buffers; "ll" = bounded
+    alive: jax.Array | None = None,  # [ep] rank-health mask
     activation=silu_and_mul,
-) -> jax.Array:
+    return_stats: bool = False,
+):
     """Full EP MoE layer: dispatch → local grouped GEMM → combine.
 
     The local expert compute sorts received tokens by expert and uses
     `lax.ragged_dot` (MXU grouped matmul), mirroring the reference's
     dispatch→grouped-GEMM→combine Split pipeline (moe_ep/layer.py:19).
+    ``algo="ht"`` sizes buffers for worst-case skew (NO token can be
+    dropped); ``algo="ll"`` uses 2x-average bounded buffers with
+    overflow accounting. With ``return_stats`` the (out, n_dropped)
+    pair is returned.
     """
     ep_static = w13_local.shape[0] and num_experts // w13_local.shape[0]
     t, k = topk_ids.shape
     if capacity is None:
-        capacity = max(1, (t * k * 2) // max(ep_static, 1))
+        if algo == "ht":
+            capacity = t * k  # worst case: every assignment to one rank
+        else:
+            capacity = max(1, (t * k * 2) // max(ep_static, 1))
     e_local = w13_local.shape[0]
 
-    x_recv, eid, valid, slot, ok = ep_dispatch(
-        hidden, topk_ids, axis, num_experts=num_experts, capacity=capacity
+    x_recv, eid, valid, slot, ok, n_dropped = ep_dispatch(
+        hidden, topk_ids, axis, num_experts=num_experts, capacity=capacity,
+        alive=alive,
     )
     # sort received tokens by local expert for the ragged grouped GEMM
     sort_key = jnp.where(valid, eid, e_local)  # invalid rows sort last
@@ -159,4 +197,65 @@ def moe_ep_forward(
         y.astype(hidden.dtype), valid, slot, ok, topk_weights, dest, axis,
         capacity=capacity,
     )
+    if return_stats:
+        # [1]-shaped so shard_map out_specs can concatenate per-rank counts
+        return out.astype(hidden.dtype), n_dropped.reshape(1)
     return out.astype(hidden.dtype)
+
+
+class MoEEpLayer:
+    """EP MoE layer with algo knobs + fault-tolerant rank masking
+    (reference MoEEpLayer moe_ep/layer.py:19 + FleetAlgoKnobFaultTolerance
+    errors.py:20-32, docs/design_docs/moe_ep_architecture.md:353-365).
+
+    The reference evicts peers that time out during dispatch; the evicted
+    rank raises MoEEpRankEvictedError and re-joins via
+    ``clear_faults(readmit=True)``. On TPU the collective always completes
+    (XLA collectives are mesh-wide), so masking is numerical: assignments
+    to masked ranks are dropped-and-counted, and a masked rank's
+    :meth:`forward` raises on the host side.
+    """
+
+    def __init__(self, num_experts: int, ep_size: int, axis: str = "ep",
+                 *, algo: str = "ht", capacity: int | None = None):
+        if algo not in ("ht", "ll"):
+            raise ValueError(f"algo must be 'ht' or 'll', got {algo!r}")
+        self.num_experts = num_experts
+        self.ep_size = ep_size
+        self.axis = axis
+        self.algo = algo
+        self.capacity = capacity
+        self._masked: set[int] = set()
+
+    # -- fault tolerance ----------------------------------------------------
+    def mask_rank(self, rank: int) -> None:
+        """Mark a rank failed: its experts stop receiving traffic."""
+        self._masked.add(int(rank))
+
+    def clear_faults(self, readmit: bool = True) -> None:
+        if readmit:
+            self._masked.clear()
+
+    @property
+    def alive(self) -> jax.Array:
+        import numpy as np
+
+        m = np.ones(self.ep_size, bool)
+        for r in self._masked:
+            m[r] = False
+        return jnp.asarray(m)
+
+    def forward(self, hidden, topk_ids, topk_weights, w13_local, w2_local,
+                *, my_rank: int | None = None, return_stats: bool = False):
+        if my_rank is not None and my_rank in self._masked:
+            raise MoEEpRankEvictedError(
+                f"rank {my_rank} is masked; clear_faults() to re-join")
+        return moe_ep_forward(
+            hidden, topk_ids, topk_weights, w13_local, w2_local, self.axis,
+            num_experts=self.num_experts, capacity=self.capacity,
+            algo=self.algo,
+            alive=self.alive if self._masked else None,
+            return_stats=return_stats,
+        )
+
+    __call__ = forward

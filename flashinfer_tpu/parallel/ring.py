@@ -8,6 +8,13 @@ each step `jax.lax.ppermute`-rotating the local KV shard around the ring
 (ICI neighbour exchange) and merging the partial (out, lse) states with the
 associative LSE algebra (utils.merge_attention_states) — the same math as
 cascade/split-KV merge (SURVEY §2.9).
+
+The per-step block attention runs the Pallas streaming prefill kernel
+(never materializing [Sq, Sk] scores — round-1 used a dense jnp block,
+unusable at the long contexts ring attention exists for). With contiguous
+sequence sharding a (q-shard, kv-shard) pair is one of exactly three
+cases, selected by `lax.switch`: the diagonal (causal within the block),
+fully visible (kv entirely in the past), or fully masked (skipped).
 """
 
 from __future__ import annotations
@@ -20,6 +27,59 @@ import jax.numpy as jnp
 from ..utils import merge_attention_states
 
 _NEG_INF = float("-inf")
+
+
+def _make_block_plans(batch: int, sq: int, sk: int, hq: int, hkv: int):
+    """Host-side prefill plans for the per-shard kernel calls (static:
+    every rank/step uses the same shapes)."""
+    import numpy as np
+
+    from ..ops.attention.pallas_prefill import build_prefill_plan
+
+    qo = np.arange(batch + 1, dtype=np.int64) * sq
+    kv_lens = np.full(batch, sk, np.int64)
+    kv_starts = np.arange(batch, dtype=np.int64) * sk
+    plan_c = build_prefill_plan(qo, kv_lens, hq, hkv, causal=True,
+                                kv_row_starts=kv_starts)
+    plan_f = build_prefill_plan(qo, kv_lens, hq, hkv, causal=False,
+                                kv_row_starts=kv_starts)
+    return plan_c, plan_f
+
+
+def _block_attention_kernel(
+    q: jax.Array,  # [B, Sq, Hq, D]
+    k: jax.Array,  # [B, Sk, Hkv, D]
+    v: jax.Array,
+    case: jax.Array,  # scalar i32: 0=diagonal, 1=full, 2=skip
+    plans,  # (plan_causal, plan_full) from _make_block_plans
+    *,
+    sm_scale: float,
+) -> tuple[jax.Array, jax.Array]:
+    """One ring step through the Pallas prefill kernel; returns
+    (out [B,Sq,Hq,D] f32, lse [B,Sq,Hq])."""
+    from ..ops.attention.pallas_prefill import run_prefill
+
+    b, sq, hq, d = q.shape
+    sk, hkv = k.shape[1], k.shape[2]
+    qr = q.reshape(b * sq, hq, d)
+    kr = k.reshape(b * sk, hkv, d)
+    vr = v.reshape(b * sk, hkv, d)
+
+    def run(causal, plan):
+        def f():
+            o, lse = run_prefill(qr, kr, vr, plan, causal=causal,
+                                 sm_scale=sm_scale)
+            return (o.reshape(b, sq, hq, d).astype(jnp.float32),
+                    lse.reshape(b, sq, hq))
+        return f
+
+    def skip():
+        return (jnp.zeros((b, sq, hq, d), jnp.float32),
+                jnp.full((b, sq, hq), _NEG_INF, jnp.float32))
+
+    plan_c, plan_f = plans
+    return jax.lax.switch(case, [run(True, plan_c), run(False, plan_f),
+                                 skip])
 
 
 def _block_attention(
@@ -81,18 +141,24 @@ def ring_attention(
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     cp = jax.lax.axis_size(axis)
     my = jax.lax.axis_index(axis)
-    s_q = q.shape[1]
-    s_kv = k.shape[1]
+    b, s_q, hq, d = q.shape
+    s_kv, hkv = k.shape[1], k.shape[2]
     perm = [(i, (i + 1) % cp) for i in range(cp)]
-
-    q_offset = my * s_q
+    if causal and s_q != s_kv:
+        raise ValueError("causal ring attention needs equal q/kv shards")
+    plans = _make_block_plans(b, s_q, s_kv, hq, hkv)
 
     def step(carry, i):
         k_cur, v_cur, o_acc, lse_acc = carry
         src = (my - i) % cp  # whose kv shard we currently hold
-        o_i, lse_i = _block_attention(
-            q, k_cur, v_cur, q_offset, src * s_kv,
-            causal=causal, sm_scale=sm_scale,
+        if causal:
+            # 0 = diagonal (src == my), 1 = fully visible (src < my),
+            # 2 = fully masked (src > my: strictly in the future)
+            case = jnp.where(src == my, 0, jnp.where(src < my, 1, 2))
+        else:
+            case = jnp.int32(1)
+        o_i, lse_i = _block_attention_kernel(
+            q, k_cur, v_cur, case, plans, sm_scale=sm_scale,
         )
         o_acc, lse_acc = merge_attention_states(o_acc, lse_acc, o_i, lse_i)
         k_nxt = jax.lax.ppermute(k_cur, axis, perm)

@@ -162,3 +162,86 @@ def test_moe_ep_vs_fused_moe():
     ))
     out = np.asarray(fn(hidden, ids, wts, w13, w2))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_ep_ht_zero_loss_adversarial_skew():
+    """HT (drop-free) mode loses ZERO assignments even when every token
+    routes to the same expert (worst-case skew) — reference EP LL/HT
+    never lose tokens (moe_ep design doc)."""
+    import functools
+    from flashinfer_tpu.parallel.ep import moe_ep_forward
+
+    ep, e, h, i_sz, t, k = 4, 8, 64, 128, 16, 2
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:ep]), ("ep",))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((ep * t, h)), jnp.float32)
+    ids = jnp.zeros((ep * t, k), jnp.int32)  # ALL to expert 0 on rank 0
+    wts = jnp.full((ep * t, k), 1.0 / k, jnp.float32)
+    w13 = jnp.asarray(rng.standard_normal((e, h, 2 * i_sz)) * 0.05,
+                      jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((e, i_sz, h)) * 0.05, jnp.float32)
+
+    fn = shard_map(
+        functools.partial(
+            moe_ep_forward, axis="ep", num_experts=e, algo="ht",
+            return_stats=True),
+        mesh=mesh,
+        in_specs=(P("ep"), P("ep"), P("ep"), P("ep"), P("ep")),
+        out_specs=(P("ep"), P("ep")),
+        check_vma=False,
+    )
+    out, dropped = fn(x, ids, wts, w13, w2)
+    assert int(jnp.sum(dropped)) == 0
+    # reference: every token through expert 0
+    from flashinfer_tpu.ops.activation import silu_and_mul
+    inter = silu_and_mul(x @ w13[0])
+    ref = inter @ w2[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ep_ll_overflow_counted_and_rank_masking():
+    """LL mode counts (never silently drops) overflow; masking a rank
+    removes its experts' traffic and the evicted rank raises."""
+    import functools
+    import pytest
+    from flashinfer_tpu.parallel.ep import (
+        MoEEpLayer, MoEEpRankEvictedError,
+    )
+
+    ep, e, h, i_sz, t, k = 4, 8, 64, 128, 16, 2
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:ep]), ("ep",))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((ep * t, h)), jnp.float32)
+    ids = jnp.zeros((ep * t, k), jnp.int32)  # adversarial: all to rank 0
+    wts = jnp.full((ep * t, k), 1.0 / k, jnp.float32)
+    w13 = jnp.asarray(rng.standard_normal((e, h, 2 * i_sz)) * 0.05,
+                      jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((e, i_sz, h)) * 0.05, jnp.float32)
+
+    layer = MoEEpLayer(e, ep, algo="ll")  # bounded: will overflow
+
+    def run(layer):
+        fn = shard_map(
+            lambda *a: layer.forward(*a, return_stats=True),
+            mesh=mesh,
+            in_specs=(P("ep"), P("ep"), P("ep"), P("ep"), P("ep")),
+            out_specs=(P("ep"), P("ep")),
+            check_vma=False,
+        )
+        return fn(x, ids, wts, w13, w2)
+
+    out, dropped = run(layer)
+    total_dropped = int(jnp.sum(dropped))
+    assert total_dropped > 0  # skew exceeds LL capacity -> counted
+
+    # mask rank 0: ALL assignments (expert 0) now dropped-and-counted
+    layer.mask_rank(0)
+    out2, dropped2 = run(layer)
+    assert int(jnp.sum(dropped2)) == ep * t * k
+    np.testing.assert_allclose(np.asarray(out2), 0.0, atol=1e-6)
+    with pytest.raises(MoEEpRankEvictedError):
+        layer.forward(x, ids, wts, w13, w2, my_rank=0)
+    layer.clear_faults(readmit=True)
+    out3, dropped3 = run(layer)
+    assert int(jnp.sum(dropped3)) == total_dropped

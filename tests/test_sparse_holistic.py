@@ -173,3 +173,71 @@ def test_decode_sinks():
             ref = (np.exp(s) / denom) @ vv[:, h // g]
             np.testing.assert_allclose(o_sink[i, h], ref, rtol=2e-3, atol=2e-3)
     assert not np.allclose(o_sink, o_plain)
+
+
+def test_block_sparse_causal():
+    """Causal BSR: absolute-position causal masking over scattered column
+    blocks (reference sparse.py:333)."""
+    from flashinfer_tpu.ops.attention.sparse import (
+        BlockSparseAttentionWrapper,
+    )
+
+    M = N = 64
+    R = C = 16
+    hq, hkv, d = 4, 2, 128
+    mb, nb = M // R, N // C
+    rng = np.random.default_rng(0)
+    bm = rng.random((mb, nb)) < 0.6
+    bm[:, 0] = True  # every row attends something
+    indptr = np.concatenate([[0], np.cumsum(bm.sum(1))])
+    indices = np.concatenate([np.nonzero(bm[i])[0] for i in range(mb)])
+    q = jnp.asarray(rng.standard_normal((M, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((N, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((N, hkv, d)), jnp.float32)
+
+    w = BlockSparseAttentionWrapper()
+    w.plan(indptr, indices, M, N, R, C, hq, hkv, d, causal=True)
+    out = w.run(q, k, v)
+
+    dense = np.kron(bm, np.ones((R, C), bool))
+    dense &= np.tril(np.ones((M, N), bool), k=N - M)
+    from flashinfer_tpu.testing import attention_ref
+    ref = attention_ref(q, k, v, custom_mask=jnp.asarray(dense))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_block_sparse_inner_element_mask():
+    """Per-element masks inside nonzero blocks (reference sparse.py mask
+    argument)."""
+    from flashinfer_tpu.ops.attention.sparse import (
+        BlockSparseAttentionWrapper,
+    )
+
+    M = N = 32
+    R = C = 16
+    hq, hkv, d = 2, 1, 128
+    mb, nb = M // R, N // C
+    rng = np.random.default_rng(1)
+    bm = np.ones((mb, nb), bool)
+    indptr = np.arange(mb + 1) * nb
+    indices = np.tile(np.arange(nb), mb)
+    elem = rng.random((len(indices), R, C)) < 0.7
+    elem[:, :, 0] = True
+    q = jnp.asarray(rng.standard_normal((M, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((N, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((N, hkv, d)), jnp.float32)
+
+    w = BlockSparseAttentionWrapper()
+    w.plan(indptr, indices, M, N, R, C, hq, hkv, d, mask=elem)
+    out = w.run(q, k, v)
+
+    dense = np.zeros((M, N), bool)
+    for i in range(mb):
+        for jj, b in enumerate(indices[indptr[i]:indptr[i + 1]]):
+            dense[i * R:(i + 1) * R, b * C:(b + 1) * C] = elem[
+                indptr[i] + jj]
+    from flashinfer_tpu.testing import attention_ref
+    ref = attention_ref(q, k, v, custom_mask=jnp.asarray(dense))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)

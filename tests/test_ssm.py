@@ -191,3 +191,35 @@ def test_recurrent_kda_vector_gate():
     np.testing.assert_allclose(np.asarray(out), ref_o, rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(np.asarray(s_final), ref_s, rtol=3e-4,
                                atol=3e-4)
+
+
+def test_chunked_delta_rule_matches_scan():
+    """Chunk-parallel gated delta rule == the sequential scan (dense
+    batch, scalar gate; reference gdn_prefill.py:581 chunked kernels)."""
+    from flashinfer_tpu.ops.ssm import (
+        _delta_rule_chunked, _delta_rule_scan,
+    )
+
+    rng = np.random.default_rng(0)
+    b, t, h, dk, dv = 2, 192, 3, 32, 16
+    q = jnp.asarray(rng.standard_normal((b, t, h, dk)), jnp.float32)
+    # the delta rule is contractive only for L2-normalized keys (GDN
+    # always normalizes: use_qk_l2norm_in_kernel) — unnormalized random
+    # keys make the recurrence itself explode
+    k = rng.standard_normal((b, t, h, dk))
+    k = jnp.asarray(k / np.linalg.norm(k, axis=-1, keepdims=True),
+                    jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, dv)), jnp.float32)
+    g = jnp.asarray(-np.abs(rng.standard_normal((b, t, h))) * 0.1,
+                    jnp.float32)
+    beta = jnp.asarray(rng.random((b, t, h)), jnp.float32)
+    s0 = jnp.asarray(rng.standard_normal((b, h, dk, dv)) * 0.1, jnp.float32)
+    scale = 1.0 / np.sqrt(dk)
+
+    o_ref, s_ref = _delta_rule_scan(q, k, v, g, beta, s0, scale, None)
+    o_chk, s_chk = _delta_rule_chunked(q, k, v, g, beta, s0, scale,
+                                       chunk=64)
+    np.testing.assert_allclose(np.asarray(o_chk), np.asarray(o_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(s_chk), np.asarray(s_ref),
+                               rtol=2e-3, atol=2e-3)
