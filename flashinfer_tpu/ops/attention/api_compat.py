@@ -72,10 +72,44 @@ def trtllm_batch_decode_with_kv_cache(
     del workspace_buffer, max_seq_len, out, enable_pdl, backend
     k_cache, v_cache = _unpack_block_kv(kv_cache, kv_layout)
     if q_len_per_req != 1:
-        raise NotImplementedError(
-            "q_len_per_req > 1: use BatchAttention (holistic) for "
-            "speculative multi-token decode"
+        # speculative multi-token decode (reference xqa spec-dec,
+        # xqa.py:188 q_len inference): the last q_len_per_req positions of
+        # each request attend causally over its pages — exactly a paged
+        # prefill plan with qo_len = q_len_per_req
+        import numpy as _np
+
+        seq_h = _np.asarray(seq_lens, _np.int64)
+        bt_h = _np.asarray(block_tables, _np.int64)
+        batch = seq_h.shape[0]
+        ps = k_cache.shape[1]
+        hkv = k_cache.shape[2]
+        hq = query.shape[-2]
+        d = query.shape[-1]
+        qo_indptr = _np.arange(batch + 1, dtype=_np.int64) * q_len_per_req
+        page_lists = [
+            bt_h[b, : max(1, -(-int(seq_h[b]) // ps))] for b in range(batch)
+        ]
+        plan = build_prefill_plan(
+            qo_indptr, seq_h, hq, hkv, causal=True,
+            page_table=page_lists, page_size=ps,
         )
+        kf, vf = k_cache, v_cache
+        if kf.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+            kf = kf.astype(jnp.bfloat16)
+            vf = vf.astype(jnp.bfloat16)
+        o, lse = run_prefill(
+            query.reshape(batch * q_len_per_req, hq, d),
+            kf.reshape(-1, hkv, d), vf.reshape(-1, hkv, d), plan,
+            sm_scale=float(bmm1_scale), causal=True,
+            window_left=window_left,
+        )
+        if bmm2_scale != 1.0:
+            o = (o.astype(jnp.float32) * bmm2_scale).astype(o.dtype)
+        if o_scale != 1.0:
+            o = (o.astype(jnp.float32) / o_scale).astype(o.dtype)
+        if out_dtype is not None:
+            o = o.astype(out_dtype)
+        return (o, lse) if return_lse else o
     kf = k_cache
     if kf.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
         kf = kf.astype(jnp.bfloat16)
@@ -123,7 +157,17 @@ def xqa(
         k_cache = jnp.swapaxes(k_cache, 1, 2)
         v_cache = jnp.swapaxes(v_cache, 1, 2)
     if beam != 1:
-        raise NotImplementedError("beam search decode lands later")
+        # beam search: beams share the request's pages — fold the beam dim
+        # into batch with repeated page rows (reference xqa.py beamWidth)
+        q = q.reshape(b * beam, 1, hq, d)
+        page_table = jnp.repeat(page_table, beam, axis=0)
+        seq_lens = jnp.repeat(seq_lens.reshape(-1), beam, axis=0)
+        o = xqa(q, k_cache, v_cache, page_table, seq_lens,
+                q_scale=q_scale, kv_scale=kv_scale,
+                sliding_win_size=sliding_win_size, sinks=sinks,
+                kv_layout="NHD")
+        return o.reshape(b, beam, *o.shape[2:]) if o.ndim == 4 else (
+            o.reshape(b, beam, hq, d))
     sm = q_scale / math.sqrt(d)
     kv_s = float(kv_scale) if kv_scale is not None else 1.0
     kf, vf = k_cache, v_cache

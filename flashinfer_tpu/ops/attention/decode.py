@@ -141,9 +141,11 @@ class BatchDecodeWithPagedKVCacheWrapper:
     ) -> None:
         """Host-side scheduling: build static-shaped plan arrays.
 
-        Matches reference plan() argument surface (decode.py:1239); rope_*
-        args apply when pos_encoding_mode="ROPE_LLAMA" (fused rope-on-the-fly
-        is NOT applied in v1 — apply rope before calling; kept for API parity).
+        Matches reference plan() argument surface (decode.py:1239). With
+        pos_encoding_mode="ROPE_LLAMA" the cache holds PRE-ROPE keys:
+        run() rotates q host-side (one tiny row per request) and the
+        kernel rotates K chunks on the fly — no roped cache copy ever
+        materializes (reference pos_enc.cuh:294 fused rotary).
         """
         del non_blocking
         if pos_encoding_mode not in ("NONE", "ROPE_LLAMA", "ALIBI"):
@@ -188,6 +190,8 @@ class BatchDecodeWithPagedKVCacheWrapper:
             sm_scale=(
                 float(sm_scale) if sm_scale is not None else 1.0 / math.sqrt(head_dim)
             ),
+            rope_theta=float(rope_theta or 1e4),
+            rope_scale=float(rope_scale or 1.0),
             q_data_type=q_data_type,
             kv_data_type=kv_data_type,
         )
@@ -211,6 +215,17 @@ class BatchDecodeWithPagedKVCacheWrapper:
             raise RuntimeError("call plan() before run()")
         del enable_pdl
         p = self._plan_params
+        use_rope = p["pos_encoding_mode"] == "ROPE_LLAMA"
+        if use_rope:
+            from ..rope import apply_rope_pos_ids
+
+            q, _ = apply_rope_pos_ids(
+                q, q, jnp.maximum(self._kv_lens - 1, 0),
+                rope_scale=p["rope_scale"], rope_theta=p["rope_theta"])
+        rope_kw = dict(
+            rope_theta=p["rope_theta"] if use_rope else 0.0,
+            rope_scale=p["rope_scale"],
+        )
         # 5-D NHD combined cache rides the single-DMA-per-page fast path
         # (k+v of a page in one descriptor — half the DMA issue rate)
         from ...env import resolve_interpret
@@ -238,6 +253,7 @@ class BatchDecodeWithPagedKVCacheWrapper:
                 k_scale=float(k_scale) if k_scale is not None else 1.0,
                 v_scale=float(v_scale) if v_scale is not None else 1.0,
                 sinks=sinks, variant=self._variant, interpret=interpret,
+                **rope_kw,
             )
             if return_lse:
                 return out, lse
@@ -268,6 +284,7 @@ class BatchDecodeWithPagedKVCacheWrapper:
             sinks=sinks,
             variant=self._variant,
             interpret=interpret,
+            **rope_kw,
         )
         if return_lse:
             return out, lse
@@ -337,11 +354,12 @@ def single_decode_with_kv_cache(
     dispatched to the paged kernel — one code path, zero copies beyond the
     pad-to-page-multiple.
     """
-    del use_tensor_cores, rope_scale, rope_theta
-    if pos_encoding_mode != "NONE":
+    del use_tensor_cores
+    use_rope = pos_encoding_mode == "ROPE_LLAMA"
+    if pos_encoding_mode not in ("NONE", "ROPE_LLAMA"):
         raise NotImplementedError(
-            "fused rope-on-the-fly in decode is not supported; apply "
-            "flashinfer_tpu rope ops to q/k first"
+            f"pos_encoding_mode {pos_encoding_mode!r}: NONE and ROPE_LLAMA "
+            "are supported (fused in-kernel rotary)"
         )
     layout = check_kv_layout(kv_layout)
     if layout == KVLayout.HND:
@@ -350,6 +368,15 @@ def single_decode_with_kv_cache(
     kv_len, num_kv_heads, head_dim = k.shape
     num_qo_heads = q.shape[0]
 
+    if use_rope:
+        # q sits at position kv_len - 1; K rotates inside the kernel
+        from ..rope import apply_rope_pos_ids
+
+        q, _ = apply_rope_pos_ids(
+            q[None], q[None], jnp.asarray([kv_len - 1], jnp.int32),
+            rope_scale=float(rope_scale or 1.0),
+            rope_theta=float(rope_theta or 1e4))
+        q = q[0]
     page = min(512, bucket_size(kv_len, minimum=16))
     padded = cdiv(kv_len, page) * page
     if padded != kv_len:
@@ -372,6 +399,8 @@ def single_decode_with_kv_cache(
         v_cache,
         page_table,
         kv_lens,
+        rope_theta=float(rope_theta or 1e4) if use_rope else 0.0,
+        rope_scale=float(rope_scale or 1.0),
         sm_scale=sm_scale,
         logits_soft_cap=float(logits_soft_cap or 0.0),
         window_left=window_left,

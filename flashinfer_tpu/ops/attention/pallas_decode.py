@@ -157,6 +157,34 @@ def _decode_kernel(
 # ---------------------------------------------------------------------------
 
 
+def _rope_rows_merged(
+    x, pos_col, theta: float, rope_scale: float, num_heads: int, d: int
+):
+    """Llama rotary applied to [rows, H*D] merged-lane KV rows in place.
+
+    Lane l belongs to head l // d at dim i = l % d; pairs (i, i + d/2)
+    rotate together. The partner element is fetched with two cyclic lane
+    rolls masked by half (rolls stay inside the 128-lane head block when
+    d == 128), so no [rows, H, D] relayout is needed (reference fused
+    rotary: include/flashinfer/pos_enc.cuh:294).
+    """
+    rows, hd = x.shape
+    half = d // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, hd), 1)
+    dim_i = jax.lax.rem(jax.lax.rem(lane, d), half)
+    freq = jnp.exp(
+        dim_i.astype(jnp.float32) * (-2.0 * math.log(theta) / d))
+    ang = (pos_col.astype(jnp.float32) / rope_scale) * freq  # [rows, hd]
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang)
+    lo = jax.lax.rem(lane, d) < half
+    xf = x.astype(jnp.float32)
+    partner = jnp.where(lo, jnp.roll(xf, -half, axis=1),
+                        jnp.roll(xf, half, axis=1))
+    sign = jnp.where(lo, -1.0, 1.0)
+    return (xf * cos + partner * sin * sign).astype(x.dtype)
+
+
 def _decode_kernel_v2(
     # scalar prefetch
     page_table_ref,  # [B, max_pages] i32 (SMEM)
@@ -194,6 +222,8 @@ def _decode_kernel_v2(
     combined: bool = False,
     inject_new: bool = False,
     variant=None,  # AttentionVariant hook points (variants.py)
+    rope_theta: float = 0.0,  # > 0: rotate K on the fly (pre-rope cache)
+    rope_scale: float = 1.0,
 ):
     # optional aliased cache-output ref precedes the 4 scratch entries
     k_buf, v_buf, sem, append_sem = rest[-4:]
@@ -301,6 +331,11 @@ def _decode_kernel_v2(
         else:
             k = k_buf[slot].reshape(chunk_tokens, num_kv_heads * d)
             v = v_buf[slot].reshape(chunk_tokens, num_kv_heads * d)
+        if rope_theta > 0.0:
+            kpos_col = chunk * chunk_tokens + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk_tokens, 1), 0)
+            k = _rope_rows_merged(
+                k, kpos_col, rope_theta, rope_scale, num_kv_heads, d)
         if variant is not None and variant.key_transform is not None:
             kpos = chunk * chunk_tokens + jax.lax.broadcasted_iota(
                 jnp.int32, (chunk_tokens, 1), 0)
@@ -427,7 +462,7 @@ def _decode_kernel_v2(
     jax.jit,
     static_argnames=(
         "sm_scale", "logits_soft_cap", "window_left", "k_scale", "v_scale",
-        "interpret", "kernel_impl", "variant",
+        "interpret", "kernel_impl", "variant", "rope_theta", "rope_scale",
     ),
 )
 def paged_decode_attention(
@@ -446,6 +481,8 @@ def paged_decode_attention(
     interpret: bool | None = None,
     kernel_impl: str = "auto",
     variant=None,  # AttentionVariant hook points (variants.py)
+    rope_theta: float = 0.0,  # > 0: the cache holds PRE-ROPE keys and the
+    rope_scale: float = 1.0,  # kernel rotates them on the fly (q pre-roped)
 ) -> tuple[jax.Array, jax.Array]:
     """Batched paged-KV decode attention.
 
@@ -460,10 +497,11 @@ def paged_decode_attention(
     """
     interp = resolve_interpret(interpret)
     if kernel_impl == "auto":
-        # variants are implemented in the streaming kernel (it runs fine
-        # under the interpreter too)
+        # variants/fused-rope are implemented in the streaming kernel (it
+        # runs fine under the interpreter too)
         kernel_impl = (
-            "blockspec" if interp and variant is None else "streaming"
+            "blockspec" if interp and variant is None and rope_theta == 0.0
+            else "streaming"
         )
     if kernel_impl == "blockspec":
         return paged_decode_attention_blockspec(
@@ -514,6 +552,7 @@ def paged_decode_attention(
         sm_scale=float(sm_scale), logits_soft_cap=float(logits_soft_cap),
         window_left=int(window_left), k_scale=float(k_scale),
         v_scale=float(v_scale), use_sinks=use_sinks, variant=variant,
+        rope_theta=float(rope_theta), rope_scale=float(rope_scale),
     )
     positions_dummy = jnp.zeros((batch,), jnp.int32)
     knew_dummy = jnp.zeros((1, 1, num_kv_heads * head_dim), k_cache.dtype)
@@ -568,7 +607,7 @@ def paged_decode_attention(
     jax.jit,
     static_argnames=(
         "sm_scale", "logits_soft_cap", "window_left", "k_scale", "v_scale",
-        "interpret", "variant",
+        "interpret", "variant", "rope_theta", "rope_scale",
     ),
 )
 def paged_decode_attention_combined(
@@ -585,6 +624,8 @@ def paged_decode_attention_combined(
     sinks: jax.Array | None = None,
     interpret: bool | None = None,
     variant=None,
+    rope_theta: float = 0.0,
+    rope_scale: float = 1.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Streaming decode over the reference's combined 5-D cache layout
     ([pages, 2, ...], decode.py:1841): k and v of a page ride ONE DMA —
@@ -631,6 +672,7 @@ def paged_decode_attention_combined(
         sm_scale=float(sm_scale), logits_soft_cap=float(logits_soft_cap),
         window_left=int(window_left), k_scale=float(k_scale),
         v_scale=float(v_scale), use_sinks=use_sinks, variant=variant,
+        rope_theta=float(rope_theta), rope_scale=float(rope_scale),
         interpret=interpret,
     )
 
@@ -642,6 +684,8 @@ def _combined_call(
     alias_cache: bool = False,
     inject_kv: tuple | None = None,  # (k_new [B, Hkv*D], v_new [B, Hkv*D])
     variant=None,
+    rope_theta: float = 0.0,
+    rope_scale: float = 1.0,
 ):
     inject_new = inject_kv is not None
     if inject_new and (k_scale != 1.0 or v_scale != 1.0):
@@ -656,7 +700,7 @@ def _combined_call(
         sm_scale=sm_scale, logits_soft_cap=logits_soft_cap,
         window_left=window_left, k_scale=k_scale, v_scale=v_scale,
         use_sinks=use_sinks, combined=True, inject_new=inject_new,
-        variant=variant,
+        variant=variant, rope_theta=rope_theta, rope_scale=rope_scale,
     )
     positions = jnp.zeros((batch,), jnp.int32)
     if inject_new:

@@ -1053,6 +1053,8 @@ def _prefill_kernel_hm(
     use_sinks: bool,
     use_alibi: bool,
     variant=None,  # AttentionVariant: the six traced hook points
+    rope_theta: float = 0.0,  # > 0: rotate K chunks on the fly
+    rope_scale: float = 1.0,
 ):
     """Streaming prefill v2 (TPU production path).
 
@@ -1189,6 +1191,13 @@ def _prefill_kernel_hm(
 
     def qk(slot, chunk=None):
         k = k_buf[slot]
+        if rope_theta > 0.0:
+            from .pallas_decode import _rope_rows_merged
+
+            kpos_col = chunk * kb + jax.lax.broadcasted_iota(
+                jnp.int32, (kb, 1), 0)
+            k = _rope_rows_merged(
+                k, kpos_col, rope_theta, rope_scale, 1, d)
         if variant is not None and variant.key_transform is not None:
             kpos = chunk * kb + jax.lax.broadcasted_iota(
                 jnp.int32, (kb, 1), 0)
@@ -1350,6 +1359,8 @@ def prefill_packed_hm(
     kv_block: int = KV_BLOCK,
     interpret: bool | None = None,
     variant=None,
+    rope_theta: float = 0.0,
+    rope_scale: float = 1.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Prefill v2: per-head grid, software-pipelined chunk loop, KV
     streamed from the 8-aligned head-major pool."""
@@ -1374,6 +1385,7 @@ def prefill_packed_hm(
         k_scale=float(k_scale), v_scale=float(v_scale),
         use_sinks=bool(use_sinks), use_alibi=bool(use_alibi),
         variant=variant,
+        rope_theta=float(rope_theta), rope_scale=float(rope_scale),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -1432,6 +1444,8 @@ def run_prefill(
     alibi_slopes: jax.Array | None = None,  # [H_q]
     custom_mask: jax.Array | None = None,  # [Tq_pad, Tkv_pad] padded mask
     variant=None,  # AttentionVariant hook points (variants.py)
+    rope_theta: float = 0.0,  # > 0: kernel rotates K on the fly (q is
+    rope_scale: float = 1.0,  # expected pre-roped by the caller)
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Pack layouts, run the kernel, unpack back to ragged.
@@ -1461,10 +1475,14 @@ def run_prefill(
         raise NotImplementedError(
             "AttentionVariant requires a ragged-KV plan (paged plans "
             "route through the v1 kernel)")
+    if rope_theta > 0.0 and plan.work_kv_row0_d8 is None:
+        raise NotImplementedError(
+            "fused rope requires a ragged-KV plan in this revision")
     use_hm = (
         plan.work_kv_row0_d8 is not None
         and custom_mask is None
-        and (variant is not None or not resolve_interpret(interpret))
+        and (variant is not None or rope_theta > 0.0
+             or not resolve_interpret(interpret))
     )
 
     # pack q: [Tq_pad, H_q, D] -> [H_kv, Tq_pad*G, D] (pad instead of
@@ -1547,7 +1565,8 @@ def run_prefill(
             k: v for k, v in common.items() if k != "use_custom_mask"
         }
         out_p, lse_hm = prefill_packed_hm(
-            qp, k_hm, v_hm, aux, work_arrays, variant=variant, **common_hm
+            qp, k_hm, v_hm, aux, work_arrays, variant=variant,
+            rope_theta=rope_theta, rope_scale=rope_scale, **common_hm
         )
         lse2d = lse_hm[:, :, 0]
     elif not resolve_interpret(interpret):

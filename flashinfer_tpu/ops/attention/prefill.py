@@ -101,10 +101,9 @@ class BatchPrefillWithRaggedKVCacheWrapper:
         rope_theta: float | None = None,
     ) -> None:
         del head_dim_vo, use_fp16_qk_reduction, q_data_type, kv_data_type
-        del rope_scale, rope_theta
-        if pos_encoding_mode not in ("NONE", "ALIBI"):
+        if pos_encoding_mode not in ("NONE", "ALIBI", "ROPE_LLAMA"):
             raise NotImplementedError(
-                "fused rope-on-the-fly not supported; apply rope ops first"
+                f"pos_encoding_mode {pos_encoding_mode!r} not supported"
             )
         qo_h = np.asarray(qo_indptr, np.int64)
         kv_h = np.asarray(kv_indptr, np.int64)
@@ -118,6 +117,11 @@ class BatchPrefillWithRaggedKVCacheWrapper:
             logits_soft_cap, sm_scale,
         )
         self._params["use_alibi"] = pos_encoding_mode == "ALIBI"
+        self._params["use_rope"] = pos_encoding_mode == "ROPE_LLAMA"
+        self._params["rope_theta"] = float(rope_theta or 1e4)
+        self._params["rope_scale"] = float(rope_scale or 1.0)
+        self._qo_indptr_dev = jnp.asarray(qo_h.astype(np.int32))
+        self._kv_lens_dev = jnp.asarray(kv_lens.astype(np.int32))
         self._custom_mask = _build_plan_mask(
             self._plan, qo_h, kv_lens, custom_mask, packed_custom_mask
         )
@@ -147,13 +151,26 @@ class BatchPrefillWithRaggedKVCacheWrapper:
         alibi = None
         if p["use_alibi"]:
             alibi = _alibi_slopes(p["num_qo_heads"])
+        rope_kw = {}
+        if p.get("use_rope"):
+            # fused rope: q rotated here at its in-request positions (the
+            # append convention: token i of request b sits at
+            # kv_len - qo_len + i); K rotates inside the kernel
+            from ..rope import apply_rope
+
+            offs = self._kv_lens_dev - jnp.diff(self._qo_indptr_dev)
+            q, _ = apply_rope(
+                q, q, self._qo_indptr_dev, offs,
+                rope_scale=p["rope_scale"], rope_theta=p["rope_theta"])
+            rope_kw = dict(rope_theta=p["rope_theta"],
+                           rope_scale=p["rope_scale"])
         out, lse = run_prefill(
             q, k, v, self._plan,
             sm_scale=p["sm_scale"], causal=p["causal"],
             logits_soft_cap=p["logits_soft_cap"], window_left=p["window_left"],
             k_scale=float(k_scale or 1.0), v_scale=float(v_scale or 1.0),
             sinks=sinks, alibi_slopes=alibi, custom_mask=self._custom_mask,
-            variant=self._variant, interpret=interpret,
+            variant=self._variant, interpret=interpret, **rope_kw,
         )
         if return_lse:
             return out, lse

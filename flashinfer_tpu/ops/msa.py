@@ -50,7 +50,25 @@ def msa_proxy_score(
     GQA group (per-kv-head scores).
     """
     if page_table is not None:
-        raise NotImplementedError("paged proxy K lands later; pass flat K")
+        # paged proxy-K (reference msa_ops proxy over the paged pool):
+        # gather each request's valid rows from the page pool host-side at
+        # call time — the scoring path below then runs unchanged
+        pt = np.asarray(page_table)
+        used = np.asarray(seqused_k)
+        ps = k.shape[1]
+        hkv_p, d_p = k.shape[2], k.shape[3]
+        idx_list, ks_list = [], [0]
+        for b in range(pt.shape[0]):
+            n = int(used[b])
+            pages_b = pt[b, : max(1, -(-n // ps))]
+            rows = (pages_b[:, None] * ps + np.arange(ps)[None, :]
+                    ).reshape(-1)[:n]
+            idx_list.append(rows)
+            ks_list.append(ks_list[-1] + n)
+        gather = jnp.asarray(np.concatenate(idx_list).astype(np.int32))
+        k = k.reshape(-1, hkv_p, d_p)[gather]
+        cu_seqlens_k = jnp.asarray(np.asarray(ks_list, np.int32))
+        page_table = None
     total_q, hq, d = q.shape
     total_k, hkv, _ = k.shape
     g = hq // hkv

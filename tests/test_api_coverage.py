@@ -83,3 +83,63 @@ def test_compat_ops_functional():
         ckv, kpe, jnp.asarray([0, 1], jnp.int32),
         jnp.asarray([0, 2], jnp.int32))
     assert float(c2[0, :3].sum()) == 3 * 512
+
+
+def test_trtllm_spec_decode_qlen_gt1():
+    """q_len_per_req > 1 (speculative multi-token decode, reference
+    xqa.py:188) routes through the paged prefill planner."""
+    import numpy as np
+    import jax.numpy as jnp
+    from flashinfer_tpu.ops.attention.api_compat import (
+        trtllm_batch_decode_with_kv_cache,
+    )
+    from flashinfer_tpu.testing import attention_ref
+
+    hq, hkv, d, ps = 4, 2, 128, 16
+    batch, kv_len, qlen = 2, 48, 3
+    rng = np.random.default_rng(0)
+    pages = kv_len // ps
+    npages = batch * pages
+    kc = jnp.asarray(rng.standard_normal((npages, ps, hkv, d)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((npages, ps, hkv, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((batch * qlen, hq, d)), jnp.float32)
+    bt = jnp.asarray(np.arange(npages, dtype=np.int32).reshape(batch, pages))
+    sl = jnp.full((batch,), kv_len, jnp.int32)
+    sm = 1.0 / np.sqrt(d)
+    out = trtllm_batch_decode_with_kv_cache(
+        q, (kc, vc), None, bt, sl, None, bmm1_scale=sm,
+        q_len_per_req=qlen, kv_layout="NHD")
+    for b in range(batch):
+        kb = kc.reshape(-1, hkv, d)[b * kv_len:(b + 1) * kv_len]
+        vb = vc.reshape(-1, hkv, d)[b * kv_len:(b + 1) * kv_len]
+        qb = q[b * qlen:(b + 1) * qlen]
+        ref = attention_ref(qb, kb, vb, causal=True, sm_scale=sm)
+        np.testing.assert_allclose(
+            np.asarray(out[b * qlen:(b + 1) * qlen]), np.asarray(ref),
+            rtol=2e-3, atol=2e-3)
+
+
+def test_xqa_beam_decode():
+    """Beam > 1: beams share the request's pages (reference xqa beamWidth)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from flashinfer_tpu.ops.attention.api_compat import xqa
+
+    hq, hkv, d, ps = 4, 2, 128, 16
+    batch, beam, kv_len = 2, 3, 32
+    rng = np.random.default_rng(1)
+    pages = kv_len // ps
+    npages = batch * pages
+    kc = jnp.asarray(rng.standard_normal((npages, ps, hkv, d)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((npages, ps, hkv, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((batch, beam, hq, d)), jnp.float32)
+    bt = jnp.asarray(np.arange(npages, dtype=np.int32).reshape(batch, pages))
+    sl = jnp.full((batch,), kv_len, jnp.int32)
+    out = xqa(q, kc, vc, bt, sl, kv_layout="NHD")
+    assert out.shape == (batch, beam, hq, d)
+    # each beam must equal the beam-1 result for its own query
+    for bm in range(beam):
+        single = xqa(q[:, bm:bm + 1], kc, vc, bt, sl, kv_layout="NHD")
+        np.testing.assert_allclose(np.asarray(out[:, bm]),
+                                   np.asarray(single[:, 0]),
+                                   rtol=1e-5, atol=1e-5)

@@ -113,3 +113,33 @@ def test_sparse_decode():
             p /= p.sum()
             np.testing.assert_allclose(out[i, h], p @ v[rows, 0],
                                        rtol=2e-3, atol=2e-3)
+
+
+def test_msa_proxy_score_paged():
+    """Paged proxy-K (page_table + seqused_k) matches the flat-K path."""
+    from flashinfer_tpu.ops.msa import msa_proxy_score
+
+    rng = np.random.default_rng(0)
+    hq, hkv, d, ps = 2, 1, 128, 16
+    kv_lens = [40, 17]
+    q_lens = [40, 17]
+    pages_per = [-(-l // ps) for l in kv_lens]
+    tp = sum(pages_per)
+    pool = rng.standard_normal((tp, ps, hkv, d)).astype(np.float32)
+    pt = np.zeros((2, max(pages_per)), np.int32)
+    pt[0, :pages_per[0]] = np.arange(pages_per[0])
+    pt[1, :pages_per[1]] = pages_per[0] + np.arange(pages_per[1])
+    k_flat = np.concatenate([
+        pool[:pages_per[0]].reshape(-1, hkv, d)[:kv_lens[0]],
+        pool[pages_per[0]:].reshape(-1, hkv, d)[:kv_lens[1]],
+    ])
+    cu_q = np.concatenate([[0], np.cumsum(q_lens)]).astype(np.int32)
+    cu_k = np.concatenate([[0], np.cumsum(kv_lens)]).astype(np.int32)
+    q = jnp.asarray(rng.standard_normal((sum(q_lens), hq, d)), jnp.float32)
+
+    ref = msa_proxy_score(q, jnp.asarray(k_flat), cu_q, cu_k)
+    out = msa_proxy_score(
+        q, jnp.asarray(pool), cu_q,
+        page_table=jnp.asarray(pt), seqused_k=jnp.asarray(kv_lens))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
