@@ -1,0 +1,181 @@
+"""Grouped matmul with in-kernel dequantization (quantized MoE experts).
+
+Reference analog: the grouped/groupwise GEMM families
+(include/flashinfer/gemm/group_gemm_fp8_groupwise_sm100.cuh,
+csrc/trtllm_fused_moe_runner.cu) whose whole value is streaming QUANTIZED
+weight bytes from HBM. XLA's `ragged_dot` cannot fuse a dequant producer
+(measured: fp8 experts dequantized via XLA cost +5.4 ms over bf16 on a
+32-expert layer — a full bf16 weight copy materializes), so this Pallas
+kernel upcasts weight tiles in VMEM right before the MXU: HBM traffic
+stays at quantized size and peak memory stays ~1x weights (VERDICT r1 #4).
+
+Design (megablox-style, TPU-simplified): token rows arrive sorted by
+expert; each expert's rows are padded to a multiple of the m-tile so every
+m-tile belongs to EXACTLY ONE expert. The tile->expert map rides scalar
+prefetch and drives the weight BlockSpec, so Pallas auto-double-buffers
+the quantized weight tiles. Padding rows are zero, so dead tiles compute
+zeros with no masking logic. int8 weights use the native VPU convert
+(preferred on TPU — see the int8-KV finding); fp8 works but converts
+slower (no hardware fp8 on v5e).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..env import resolve_interpret
+
+
+def _gmm_kernel(
+    tile_e_ref,  # [MT] i32: expert of each m-tile (clamped)
+    x_ref,  # [TM, K] bf16/f32
+    w_ref,  # [1, K, TN] int8/fp8/bf16
+    s_ref,  # [1, 1, K//128, TN//128] f32 scale tile (or [1,1,8,128] dummy)
+    o_ref,  # [TM, TN]
+    *,
+    has_scale: bool,
+):
+    w = w_ref[0]
+    cd = jnp.float32 if x_ref.dtype == jnp.float32 else jnp.bfloat16
+    if w.dtype != cd:
+        w = w.astype(cd)
+    if has_scale:
+        k, tn = w.shape
+        kb, tnb = k // 128, tn // 128
+        # expand the [KB, TNB] block scales to [K, TN] in f32 (Mosaic only
+        # reshapes 32-bit types across the minor dims), then one multiply
+        sf = s_ref[0, 0]  # [KB, TNB] f32
+        s_full = jnp.broadcast_to(
+            sf[:, None, :, None], (kb, 128, tnb, 128)).reshape(k, tn)
+        w = w * s_full.astype(cd)
+    o_ref[...] = jax.lax.dot_general(
+        x_ref[...], w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tm", "tn", "interpret"),
+)
+def grouped_matmul_quant(
+    x_sorted: jax.Array,  # [Ts, K] rows grouped by expert (ascending)
+    group_sizes: jax.Array,  # [E] i32 rows per expert (dynamic)
+    w_q: jax.Array,  # [E, K, N] int8 / fp8 / bf16
+    w_scale: jax.Array | None = None,  # [E, K//128, N//128] block scales
+    *,
+    tm: int = 128,
+    tn: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """y_sorted [Ts, N] = per-group x @ dequant(w_q[e]) (rows stay sorted).
+
+    Weights stream from HBM at quantized width; the upcast happens on the
+    in-VMEM tile feeding the MXU. Group boundaries may fall anywhere: rows
+    are re-packed so every m-tile is single-expert (<= E * tm zero rows of
+    padding, gathered back out at the end).
+    """
+    ts, k = x_sorted.shape
+    e, _, n = w_q.shape
+    tn = min(tn, n)
+    if n % tn:
+        tn = next(c for c in (512, 256, 128) if n % c == 0)
+    assert n % tn == 0 and k % 128 == 0
+    gs = group_sizes.astype(jnp.int32)
+    padded = ((gs + tm - 1) // tm) * tm
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)])  # [E+1]
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(gs)])  # [E+1]
+    tp = ((ts + tm - 1) // tm) * tm + e * tm  # static worst case
+    mt = tp // tm
+
+    rows = jnp.arange(ts, dtype=jnp.int32)
+    e_of_row = jnp.searchsorted(starts[1:], rows, side="right").astype(
+        jnp.int32)
+    padded_row = offs[e_of_row] + (rows - starts[e_of_row])
+    x_padded = jnp.zeros((tp, k), x_sorted.dtype).at[padded_row].set(
+        x_sorted)
+    tile_starts = jnp.arange(mt, dtype=jnp.int32) * tm
+    tile_e = (jnp.searchsorted(offs[1:], tile_starts, side="right")
+              ).astype(jnp.int32)
+    tile_e = jnp.minimum(tile_e, e - 1)  # dead tiles read (ignored) expert
+
+    has_scale = w_scale is not None
+    kb, tnb = k // 128, tn // 128
+    nj = n // tn
+    if has_scale:
+        # re-tile scales to [E, J, KB, tnb] so the block's trailing dims
+        # EQUAL the array dims (Mosaic rejects sub-128 lane blocks that
+        # don't span the whole dimension)
+        s_tiled = jnp.transpose(
+            w_scale.reshape(e, kb, nj, tnb), (0, 2, 1, 3))
+    else:
+        s_tiled = jnp.zeros((1, 1, 8, 128), jnp.float32)
+
+    kernel = functools.partial(_gmm_kernel, has_scale=has_scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mt, nj),
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda i, j, te: (i, 0)),
+            pl.BlockSpec((1, k, tn), lambda i, j, te: (te[i], 0, j)),
+            (pl.BlockSpec((1, 1, kb, tnb),
+                          lambda i, j, te: (te[i], j, 0, 0))
+             if has_scale else
+             pl.BlockSpec((1, 1, 8, 128), lambda i, j, te: (0, 0, 0, 0))),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, te: (i, j)),
+    )
+    y_padded = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tp, n), x_sorted.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=resolve_interpret(interpret),
+    )(tile_e, x_padded, w_q, s_tiled)
+    return y_padded[padded_row]
+
+
+def fused_moe_quant(
+    hidden_states: jax.Array,  # [T, H] bf16
+    w13_q: jax.Array,  # [E, H, 2I] int8/fp8
+    w13_scale: jax.Array | None,  # [E, H//128, 2I//128]
+    w2_q: jax.Array,  # [E, I, H]
+    w2_scale: jax.Array | None,  # [E, I//128, H//128]
+    topk_ids: jax.Array,  # [T, K]
+    topk_weights: jax.Array,  # [T, K]
+    *,
+    activation: str = "silu",
+    out_dtype=None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Quantized-expert fused MoE: permute -> gmm1 -> act -> gmm2 ->
+    finalize, with expert weights staying quantized in HBM throughout
+    (reference trtllm_fp8_block_scale_moe semantics,
+    csrc/trtllm_fused_moe_runner.cu)."""
+    from .moe import moe_finalize, moe_permute
+    from .activation import gelu_and_mul, silu_and_mul
+
+    act_fn = {"silu": silu_and_mul, "swiglu": silu_and_mul,
+              "gelu": gelu_and_mul, "geglu": gelu_and_mul}[activation]
+    t = hidden_states.shape[0]
+    e = w13_q.shape[0]
+    out_dtype = out_dtype or hidden_states.dtype
+
+    x_sorted, sort_idx, experts_sorted, _ = moe_permute(
+        hidden_states, topk_ids)
+    group_sizes = jnp.bincount(experts_sorted, length=e).astype(jnp.int32)
+    inter = grouped_matmul_quant(
+        x_sorted, group_sizes, w13_q, w13_scale, interpret=interpret)
+    inter = act_fn(inter).astype(hidden_states.dtype)
+    y_sorted = grouped_matmul_quant(
+        inter, group_sizes, w2_q, w2_scale, interpret=interpret)
+    out = moe_finalize(y_sorted, sort_idx, topk_weights, t)
+    return out.astype(out_dtype)

@@ -366,15 +366,18 @@ def trtllm_fp8_block_scale_moe(
         routed_scaling_factor=routed_scaling_factor or 2.5,
     )
 
-    def dequant_t(wq, ws):
-        # transpose the PACKED bytes, then dequant as a fusable expression
-        wq_t = jnp.swapaxes(wq, 1, 2)  # [E, C, R] fp8 (half-size relayout)
-        ws_t = jnp.swapaxes(ws, 1, 2)  # [E, C//128, R//128]
-        eo, c, r = wq_t.shape
-        wf = wq_t.astype(jnp.bfloat16).reshape(eo, c // 128, 128, r // 128, 128)
-        scale = ws_t.astype(jnp.bfloat16)[:, :, None, :, None]
-        return (wf * scale).reshape(eo, c, r)
+    # Pallas grouped GEMM with in-kernel dequant: the fp8 expert bytes
+    # stream from HBM at quantized width (XLA ragged_dot cannot fuse the
+    # dequant producer — measured +5.4 ms of bf16-copy traffic on a
+    # 32-expert layer). Only the PACKED bytes are transposed to the
+    # [E, K, N] layout (serving should pre-transpose once at load).
+    from .gmm import fused_moe_quant
 
-    w13 = dequant_t(gemm1_weights, gemm1_weights_scale)
-    w2 = dequant_t(gemm2_weights, gemm2_weights_scale)
-    return fused_moe(hidden_states, w13, w2, ids, w, out_dtype=hidden_states.dtype)
+    w13_t = jnp.swapaxes(gemm1_weights, 1, 2)  # [E, H, 2I] fp8
+    w13_s = jnp.swapaxes(gemm1_weights_scale, 1, 2)
+    w2_t = jnp.swapaxes(gemm2_weights, 1, 2)  # [E, I, H]
+    w2_s = jnp.swapaxes(gemm2_weights_scale, 1, 2)
+    return fused_moe_quant(
+        hidden_states, w13_t, w13_s, w2_t, w2_s, ids, w,
+        out_dtype=hidden_states.dtype,
+    )

@@ -253,8 +253,17 @@ def _delta_rule_chunked(
         pred = jnp.einsum("bhkv,bhtk->bhtv", s, kt) * jnp.exp(
             gl)[..., None]
         rhs = bt[..., None] * (vt - pred)
-        r = jax.scipy.linalg.solve_triangular(
-            eye + a_mat, rhs, lower=True, unit_diagonal=True)  # [B,H,C,V]
+        # (I + A)^{-1} for strictly-lower (nilpotent) A via product
+        # doubling: sum_{k<2m} N^k = (sum_{k<m} N^k)(I + N^m), N = -A.
+        # log2(C) batched [C, C] matmuls — MXU work instead of the
+        # sequential TriangularSolve (which halves TPU throughput).
+        n_mat = -a_mat
+        inv = eye + n_mat
+        p_mat2 = n_mat
+        for _ in range(max((c - 1).bit_length() - 1, 0)):
+            p_mat2 = jnp.einsum("bhts,bhsu->bhtu", p_mat2, p_mat2)
+            inv = inv + jnp.einsum("bhts,bhsu->bhtu", inv, p_mat2)
+        r = jnp.einsum("bhts,bhsv->bhtv", inv, rhs)  # [B,H,C,V]
         qk = jnp.einsum("bhtk,bhsk->bhts", qt, kt)
         p_mat = jnp.where(tri_incl, qk * gamma, 0.0)
         o = (jnp.einsum("bhkv,bhtk->bhtv", s, qt) * jnp.exp(gl)[..., None]
