@@ -212,12 +212,15 @@ def build_prefill_plan(
         kv_block = kv_block or t_kb
     tq_tokens = max(1, row_block // group)  # tokens per q tile
 
-    # v2 tables (ragged KV only): per-work aligned-pool row start and the
-    # gather map that builds the 8-row-aligned pool. Works are emitted per
+    # v2 tables: per-work aligned-pool row start and the gather map that
+    # builds the 8-row-aligned head-major pool. Works are emitted per
     # request in order, one per q tile, plus one dummy at the end —
-    # identical in the python and native planners.
+    # identical in the python and native planners. Paged plans map page
+    # slots to flat pool rows (page * page_size + offset), so the same
+    # kernel serves ragged prefill, paged/chunked prefill, and holistic
+    # mixed batches.
     v2_fields: dict = {}
-    if kv_row_starts is not None:
+    if kv_row_starts is not None or page_table is not None:
         wkr_d8: list[int] = []
         kv8_src_l: list[np.ndarray] = []
         kv8_valid_l: list[np.ndarray] = []
@@ -230,7 +233,20 @@ def build_prefill_plan(
                 wkr_d8.extend(
                     [al_cursor // 8] * cdiv(qo_len_b, tq_tokens)
                 )
-            kv8_src_l.append(int(kv_row_starts[b]) + np.arange(al_b))
+            if page_table is not None:
+                pages_b = np.asarray(page_table[b], np.int64)
+                if len(pages_b) == 0:
+                    rows_b = np.zeros(al_b, np.int64)
+                else:
+                    slots = np.arange(al_b)
+                    rows_b = (
+                        pages_b[np.minimum(slots // page_size,
+                                           len(pages_b) - 1)] * page_size
+                        + slots % page_size
+                    )
+            else:
+                rows_b = int(kv_row_starts[b]) + np.arange(al_b)
+            kv8_src_l.append(rows_b)
             kv8_valid_l.append(np.arange(al_b) < kv_len_b)
             al_cursor += al_b
         wkr_d8.append(0)  # dummy work
@@ -1471,13 +1487,6 @@ def run_prefill(
         raise NotImplementedError(
             "custom_mask with an AttentionVariant: express the mask via "
             "variant.logits_mask instead")
-    if variant is not None and plan.work_kv_row0_d8 is None:
-        raise NotImplementedError(
-            "AttentionVariant requires a ragged-KV plan (paged plans "
-            "route through the v1 kernel)")
-    if rope_theta > 0.0 and plan.work_kv_row0_d8 is None:
-        raise NotImplementedError(
-            "fused rope requires a ragged-KV plan in this revision")
     use_hm = (
         plan.work_kv_row0_d8 is not None
         and custom_mask is None

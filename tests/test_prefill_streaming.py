@@ -148,3 +148,34 @@ def test_stream_window_softcap():
     out = _pack_and_run_stream(q, k, v, plan, True, **kw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("page_size", [5, 16])
+def test_hm_paged_matches_blockspec(page_size):
+    """v2 kernel over PAGED plans: page slots map to flat pool rows via
+    the 8-aligned gather (serves paged/chunked prefill + holistic)."""
+    hq, hkv, d = 4, 2, 128
+    rng = np.random.default_rng(7)
+    qo_lens = [20, 33]
+    kv_lens = [37, 64]
+    pages_per = [-(-l // page_size) for l in kv_lens]
+    tp = sum(pages_per) + 2
+    perm = rng.permutation(tp)
+    page_table = []
+    c = 0
+    for npg in pages_per:
+        page_table.append(perm[c:c + npg].astype(np.int64))
+        c += npg
+    qo = np.concatenate([[0], np.cumsum(qo_lens)]).astype(np.int64)
+    plan = build_prefill_plan(qo, np.asarray(kv_lens), hq, hkv,
+                              causal=True, page_table=page_table,
+                              page_size=page_size)
+    q = jnp.asarray(rng.standard_normal((int(qo[-1]), hq, d)), jnp.float32)
+    pool_k = jnp.asarray(
+        rng.standard_normal((tp * page_size, hkv, d)), jnp.float32)
+    pool_v = jnp.asarray(
+        rng.standard_normal((tp * page_size, hkv, d)), jnp.float32)
+    ref, _ = run_prefill(q, pool_k, pool_v, plan, causal=True)  # blockspec
+    out = _pack_and_run_hm(q, pool_k, pool_v, plan, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
