@@ -154,6 +154,10 @@ class AutoTuner:
 
         import numpy as np
 
+        if hasattr(runner, "bench"):
+            # in-jit dependent-chain timing: wall-clock per-call profiling
+            # is useless over the axon tunnel (25-90 ms RTT vs ~ms kernels)
+            return float(runner.bench(inputs, tactic))
         out = runner.forward(inputs, tactic=tactic)
         leaf = jax.tree_util.tree_leaves(out)[0]
         _ = np.asarray(jax.numpy.ravel(leaf)[0])

@@ -80,7 +80,7 @@ class _PrefillTileRunner:
     def get_valid_tactics(self, inputs=None, profile=None):
         return list(self.tactics)
 
-    def forward(self, inputs=None, tactic=None):
+    def _setup(self, tactic):
         rb, kb = tactic if tactic and tactic != -1 else self.tactics[0]
         qo_indptr, kv_lens = self.args
         hq, hkv = self.heads
@@ -95,8 +95,24 @@ class _PrefillTileRunner:
             qo_indptr, kv_lens, hq, hkv, causal=self.causal,
             kv_row_starts=self.kv_row_starts, row_block=rb, kv_block=kb,
         )
+        return q, k, plan
+
+    def forward(self, inputs=None, tactic=None):
+        q, k, plan = self._setup(tactic)
         out, _ = run_prefill(q, k, k, plan, causal=self.causal)
         return out
+
+    def bench(self, inputs=None, tactic=None) -> float:
+        from ...testing.utils import bench_loop
+
+        q, k, plan = self._setup(tactic)
+
+        def step(q_cur, k, v):
+            o, _ = run_prefill(q_cur, k, v, plan, causal=self.causal)
+            return o.astype(q_cur.dtype)
+
+        return min(bench_loop(step, q, k, k, iters=16, reps=1)
+                   for _ in range(2))
 
 
 def _tuned_blocks(qo_indptr, kv_lens, num_qo_heads, num_kv_heads, causal,
