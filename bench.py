@@ -81,7 +81,7 @@ def main() -> None:
     # best of several full measurements so the recorded number is the
     # steady-state one.
     best = None
-    for _ in range(4):
+    for _ in range(6):
         r = bench_decode_attention()
         if best is None or r["value"] > best["value"]:
             best = r

@@ -60,6 +60,19 @@ from .ops.attention.sparse import (  # noqa: F401
     BlockSparseAttentionWrapper,
     VariableBlockSparseAttentionWrapper,
 )
+from .ops.attention.variants import (  # noqa: F401
+    AttentionVariant,
+    DefaultAttention,
+    VariantInfo,
+)
+from .ops.gmm import (  # noqa: F401
+    fused_moe_quant,
+    grouped_matmul_quant,
+)
+from .parallel.ep import (  # noqa: F401
+    MoEEpLayer,
+    MoEEpRankEvictedError,
+)
 from .ops.attention.holistic import (  # noqa: F401
     BatchAttention,
     BatchAttentionWithAttentionSinkWrapper,

@@ -1419,6 +1419,12 @@ def prefill_packed_hm(
         variant=variant,
         rope_theta=float(rope_theta), rope_scale=float(rope_scale),
     )
+    # sinks/alibi unused: shrink the per-step aux transfer to one tile
+    # (a full [rb, 128] f32 block per grid step is ~67 MB of dead DMA
+    # across a 4k prefill)
+    aux_rows = rb if (use_sinks or use_alibi) else 8
+    if aux_packed.shape[1] != aux_rows:
+        aux_packed = aux_packed[:, :aux_rows]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(num_kv_heads, num_works),
@@ -1426,7 +1432,7 @@ def prefill_packed_hm(
             pl.BlockSpec((1, rb, head_dim), q_map),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, rb, 128), aux_map),
+            pl.BlockSpec((1, aux_rows, 128), aux_map),
         ],
         out_specs=[
             pl.BlockSpec((1, rb, head_dim), q_map),

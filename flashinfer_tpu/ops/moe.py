@@ -98,7 +98,33 @@ def fused_moe(
 
     w13c = w13
     w2c = w2
-    if w13.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+    if w13.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8):
+        # quantized experts: stream quantized bytes through the Pallas
+        # grouped GEMM (in-kernel dequant); per-tensor scales expand to a
+        # single 128x128 block grid entry
+        from .gmm import fused_moe_quant
+
+        def expand(scale, wq):
+            if scale is None:
+                return None
+            e_, r, c = wq.shape
+            return jnp.broadcast_to(
+                scale.reshape(-1, 1, 1).astype(jnp.float32),
+                (e_, r // 128, c // 128),
+            ) if r % 128 == 0 and c % 128 == 0 else None
+
+        s13 = expand(w13_scale, w13)
+        s2 = expand(w2_scale, w2)
+        ok13 = s13 is not None or w13_scale is None
+        ok2 = s2 is not None or w2_scale is None
+        if ok13 and ok2 and w13.shape[1] % 128 == 0 \
+                and w13.shape[2] % 128 == 0 and w2.shape[1] % 128 == 0 \
+                and w2.shape[2] % 128 == 0:
+            out = fused_moe_quant(
+                hidden_states, w13, s13, w2, s2, topk_ids, topk_weights,
+                activation=activation, out_dtype=out_dtype,
+            )
+            return out
         w13c = w13.astype(jnp.bfloat16)
         w2c = w2.astype(jnp.bfloat16)
         if w13_scale is not None:
