@@ -593,6 +593,9 @@ def paged_decode_attention(
             jax.ShapeDtypeStruct((batch, rows, head_dim), q.dtype),
             jax.ShapeDtypeStruct((batch, rows, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=resolve_interpret(interpret),
     )(page_table, kv_lens, positions_dummy, q3, k2, v2, sinks_arr,
       knew_dummy, knew_dummy)
@@ -762,6 +765,9 @@ def _combined_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=resolve_interpret(interpret),
         **kwargs,
     )(page_table, kv_lens, positions, q3, kv2, kv2, sinks_arr, knew, vnew)
