@@ -689,6 +689,7 @@ def _combined_call(
     variant=None,
     rope_theta: float = 0.0,
     rope_scale: float = 1.0,
+    vmem_limit: int = 100 * 1024 * 1024,
 ):
     inject_new = inject_kv is not None
     if inject_new and (k_scale != 1.0 or v_scale != 1.0):
@@ -766,7 +767,7 @@ def _combined_call(
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit,
         ),
         interpret=resolve_interpret(interpret),
         **kwargs,
@@ -920,6 +921,9 @@ def paged_append_rows(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(kv_flat.shape, kv_flat.dtype),
         input_output_aliases={4: 0},  # kv_flat (after 2 prefetch args)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=resolve_interpret(interpret),
     )(entries, offs,
       k_new.astype(kv_flat.dtype),
@@ -1219,6 +1223,9 @@ def paged_decode_attention_append(
         # operands: pt, kl, pos, q3, kv2, kvnew → kv2 is operand index 4,
         # aliased to output 2 (in-place append)
         input_output_aliases={4: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=resolve_interpret(interpret),
     )(page_table, kv_lens, positions.astype(jnp.int32), q3, kv2, kvnew)
     out = out.reshape(batch, num_kv_heads, g8, head_dim)[:, :, :group]
@@ -1337,6 +1344,9 @@ def paged_decode_attention_blockspec(
             jax.ShapeDtypeStruct((batch, num_q_heads, head_dim), q.dtype),
             jax.ShapeDtypeStruct((batch, 1, num_q_heads), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=resolve_interpret(interpret),
     )(page_table, kv_lens, q, k2, v2, sinks_arr)
     return out, lse[:, 0]

@@ -739,6 +739,9 @@ def prefill_packed(
             jax.ShapeDtypeStruct(q_packed.shape, q_packed.dtype),
             jax.ShapeDtypeStruct((num_kv_heads, tqg, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=resolve_interpret(interpret),
     )(
         item_w, item_c, item_first, item_last, work_q_blk, work_kv_blk,
@@ -1046,6 +1049,9 @@ def prefill_packed_stream(
             jax.ShapeDtypeStruct(q_packed.shape, q_packed.dtype),
             jax.ShapeDtypeStruct((num_kv_heads, tqg, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=resolve_interpret(interpret),
     )(
         work_q_blk, work_kv_blk, work_kv_len, work_qo_len, work_q_pos,
