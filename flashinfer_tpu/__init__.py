@@ -255,6 +255,9 @@ from .ops.mhc import mhc_post, mhc_pre_big_fuse  # noqa: F401
 from .ops.moe_api import MoEConfig, QuantVariant, create_moe  # noqa: F401
 from .ops.attention.mla import (  # noqa: F401
     BatchDecodeMlaWithPagedKVCacheWrapper,
+    sparse_mla_attention,
+    trtllm_batch_decode_sparse_mla_dsv4,
+    trtllm_batch_decode_with_kv_cache_mla,
     xqa_mla,
 )
 from .ops.rope import (  # noqa: F401

@@ -80,6 +80,20 @@ def cmd_module_status(_args) -> int:
     return 0
 
 
+def cmd_bundle_cache(args) -> int:
+    from .aot import bundle_cache
+
+    bundle_cache(args.out)
+    return 0
+
+
+def cmd_install_cache(args) -> int:
+    from .aot import install_cache
+
+    install_cache(args.bundle, force=args.force)
+    return 0
+
+
 def cmd_bench(_args) -> int:
     import runpy
     from pathlib import Path
@@ -99,6 +113,17 @@ def main(argv=None) -> int:
     mod.add_argument("action", choices=["status", "list"])
     mod.set_defaults(fn=cmd_module_status)
     sub.add_parser("bench").set_defaults(fn=cmd_bench)
+    bc = sub.add_parser(
+        "bundle-cache",
+        help="pack XLA+autotuner caches into a distributable tarball "
+             "(the jit-cache-wheel analog)")
+    bc.add_argument("out", nargs="?", default="flashinfer_tpu_cache.tar.gz")
+    bc.set_defaults(fn=cmd_bundle_cache)
+    ic = sub.add_parser("install-cache",
+                        help="unpack a cache bundle on this host")
+    ic.add_argument("bundle")
+    ic.add_argument("--force", action="store_true")
+    ic.set_defaults(fn=cmd_install_cache)
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -88,3 +88,89 @@ def main(argv=None) -> int:  # CLI hook (reference aot.py main)
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+# ---------------------------------------------------------------------------
+# Compiled-artifact distribution (the jit-cache-wheel analog)
+# ---------------------------------------------------------------------------
+# The reference ships prebuilt kernels as the flashinfer-jit-cache /
+# flashinfer-cubin wheels (reference aot.py:1106, build scripts in
+# scripts/). On TPU the deployable artifact is the XLA persistent
+# compilation cache + the autotuner tactic cache: bundle them into one
+# tarball on a build host, install on serving hosts, and first-request
+# compile time drops to cache-load time. The manifest pins the toolchain
+# (XLA serialized executables are jaxlib/libtpu/topology specific).
+
+
+def _cache_manifest() -> dict:
+    import importlib.metadata as md
+
+    from .version import __version__
+
+    def _ver(pkg):
+        try:
+            return md.version(pkg)
+        except Exception:
+            return None
+
+    try:
+        kinds = sorted({d.device_kind for d in jax.devices()})
+    except Exception:
+        kinds = []
+    return {
+        "flashinfer_tpu": __version__,
+        "jax": jax.__version__,
+        "jaxlib": _ver("jaxlib"),
+        "libtpu": _ver("libtpu"),
+        "device_kinds": kinds,
+    }
+
+
+def bundle_cache(out_path: str, *, verbose: bool = True) -> str:
+    """Pack the XLA persistent cache + autotuner cache into ``out_path``
+    (.tar.gz) with a compatibility manifest. Returns the written path."""
+    import json
+    import tarfile
+
+    root = env.cache_dir
+    root.mkdir(parents=True, exist_ok=True)
+    manifest = root / "MANIFEST.json"
+    manifest.write_text(json.dumps(_cache_manifest(), indent=2))
+    with tarfile.open(out_path, "w:gz") as tar:
+        for p in sorted(root.rglob("*")):
+            tar.add(p, arcname=str(p.relative_to(root)))
+    if verbose:
+        n = sum(1 for _ in root.rglob("*"))
+        print(f"[aot] bundled {n} cache entries -> {out_path}")
+    return out_path
+
+
+def install_cache(bundle_path: str, *, force: bool = False,
+                  verbose: bool = True) -> str:
+    """Unpack a cache bundle into this host's cache dir. Refuses on a
+    jax/jaxlib/libtpu mismatch unless ``force`` (stale executables are
+    ignored by XLA, but a mismatched autotuner cache silently picks the
+    wrong tactics)."""
+    import json
+    import tarfile
+
+    root = env.cache_dir
+    root.mkdir(parents=True, exist_ok=True)
+    with tarfile.open(bundle_path, "r:gz") as tar:
+        names = tar.getnames()
+        if "MANIFEST.json" in names:
+            theirs = json.loads(
+                tar.extractfile("MANIFEST.json").read().decode())
+            ours = _cache_manifest()
+            for key in ("jax", "jaxlib", "libtpu"):
+                if theirs.get(key) and ours.get(key) \
+                        and theirs[key] != ours[key]:
+                    msg = (f"cache bundle {key} {theirs[key]} != host "
+                           f"{ours[key]}")
+                    if not force:
+                        raise RuntimeError(msg + " (pass force=True)")
+                    if verbose:
+                        print(f"[aot] WARNING: {msg}")
+        tar.extractall(root, filter="data")
+    if verbose:
+        print(f"[aot] installed {len(names)} entries into {root}")
+    return str(root)

@@ -426,3 +426,192 @@ def xqa_mla(
         kpe_scale=float(kv_scale) if kv_scale is not None else 1.0,
     )
     return o[:, None]
+
+def sparse_mla_attention(
+    q: jax.Array,  # [B, Q, H, 576] (nope-absorbed 512 | pe 64)
+    kv_cache: jax.Array,  # [pages, page_size, 576] (ckv | kpe)
+    indices: jax.Array,  # [B, Q, K] i32 global token slots (page*ps + slot)
+    topk_lens: jax.Array | None = None,  # [B] or [B, Q] valid-count per q
+    *,
+    sm_scale: float | None = None,
+    head_dim_ckv: int = 512,
+    sinks: jax.Array | None = None,  # [H] attention-sink logits
+    return_lse: bool = False,
+):
+    """DSv3.2/GLM sparse top-k MLA attention (reference
+    mla/_sparse_mla_sm120.py:30; entry `_core.py:540`): every query token
+    attends to exactly its ``K`` pre-selected candidate KV tokens, given as
+    global slot indices into the shared paged pool
+    (``uses_shared_paged_kv_idx`` layout). Negative indices and positions
+    ``>= topk_lens`` are masked out.
+
+    TPU design: the candidate rows are scattered single tokens, so a
+    Pallas per-row DMA would be descriptor-rate-bound (~1152 B/row —
+    measured in round 2 that descriptor rate, not bandwidth, limits such
+    kernels). The XLA row-gather feeds one ``[H, 576] x [576, K]`` MXU
+    matmul per (b, q) instead — with 128 shared q heads the arithmetic
+    intensity makes this MXU-bound, which is the same regime the
+    reference's warp-spec sparse kernel targets.
+    """
+    b, q_len, h, d_total = q.shape
+    k_top = indices.shape[-1]
+    d_ckv = head_dim_ckv
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d_total)
+    pool = kv_cache.reshape(-1, kv_cache.shape[-1])
+    if pool.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        pool = pool.astype(jnp.bfloat16)
+    valid = indices >= 0
+    if topk_lens is not None:
+        if topk_lens.ndim == 1:
+            topk_lens = topk_lens[:, None]
+        valid = jnp.logical_and(
+            valid,
+            jnp.arange(k_top, dtype=jnp.int32)[None, None, :]
+            < topk_lens[..., None],
+        )
+    safe = jnp.where(valid, indices, 0)
+    kv = pool[safe]  # [B, Q, K, 576]
+    qf = q.astype(jnp.float32) * sm_scale
+    s = jnp.einsum(
+        "bqhd,bqkd->bqhk", qf, kv.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    s = jnp.where(valid[:, :, None, :], s, DEFAULT_MASK_VALUE)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    if sinks is not None:
+        m = jnp.maximum(m, sinks.astype(jnp.float32)[None, None, :, None])
+    m = jnp.maximum(m, DEFAULT_MASK_VALUE)  # all-masked rows stay finite
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if sinks is not None:
+        l = l + jnp.exp(sinks.astype(jnp.float32)[None, None, :, None] - m)
+    o = jnp.einsum(
+        "bqhk,bqkd->bqhd", p / jnp.maximum(l, 1e-30),
+        kv[..., :d_ckv].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+    if not return_lse:
+        return o
+    lse = (m + jnp.log(jnp.maximum(l, 1e-30)))[..., 0]  # [B, Q, H]
+    return o, lse
+
+
+def trtllm_batch_decode_with_kv_cache_mla(
+    query: jax.Array,  # [B, Q, H, 576]
+    kv_cache: jax.Array,  # [pages, page_size, 576]
+    workspace_buffer: Any = None,
+    qk_nope_head_dim: int = 128,
+    kv_lora_rank: int = 512,
+    qk_rope_head_dim: int = 64,
+    block_tables: jax.Array | None = None,  # dense [B, P] or sparse [B,Q,K]
+    seq_lens: jax.Array | None = None,
+    max_seq_len: int = 0,
+    sparse_mla_top_k: int = 0,
+    out: Any = None,
+    bmm1_scale: float = 1.0,
+    bmm2_scale: float = 1.0,
+    sinks: Any = None,
+    lse: Any = None,
+    return_lse: bool = False,
+    sparse_mla_top_k_lens: jax.Array | None = None,
+    **_ignored,
+):
+    """MLA decode with optional sparse top-k (reference _core.py:3454).
+
+    ``sparse_mla_top_k == 0``: dense paged MLA via the streaming kernel
+    (``block_tables`` is the per-request page table). ``> 0``: the DSv3.2
+    sparse path — ``block_tables`` is ``[B, Q, top_k]`` global slot
+    indices (``uses_shared_paged_kv_idx``).
+    """
+    del workspace_buffer, qk_nope_head_dim, out, lse
+    b, q_len, h, d_total = query.shape
+    if sinks is not None and isinstance(sinks, (list, tuple)):
+        sinks = sinks[0]
+    if sparse_mla_top_k > 0:
+        res = sparse_mla_attention(
+            query, kv_cache, block_tables,
+            sparse_mla_top_k_lens if sparse_mla_top_k_lens is not None
+            else seq_lens,
+            sm_scale=float(bmm1_scale), head_dim_ckv=kv_lora_rank,
+            sinks=sinks, return_lse=return_lse,
+        )
+        o = res[0] if return_lse else res
+        if bmm2_scale != 1.0:
+            o = (o.astype(jnp.float32) * bmm2_scale).astype(o.dtype)
+        return (o, res[1]) if return_lse else o
+    kvf = kv_cache
+    if kvf.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        kvf = kvf.astype(jnp.bfloat16)
+    o, lse_out = paged_mla_attention(
+        query.reshape(b, q_len * h, d_total) if q_len > 1 else query[:, 0],
+        kvf, block_tables, seq_lens.astype(jnp.int32),
+        num_heads=h, q_len=q_len, head_dim_ckv=kv_lora_rank,
+        sm_scale=float(bmm1_scale), causal=q_len > 1,
+    )
+    o = o.reshape(b, q_len, h, kv_lora_rank)
+    if bmm2_scale != 1.0:
+        o = (o.astype(jnp.float32) * bmm2_scale).astype(o.dtype)
+    if return_lse:
+        return o, lse_out.reshape(b, q_len, h)
+    return o
+
+
+def trtllm_batch_decode_sparse_mla_dsv4(
+    query: jax.Array,  # [B, Q, H, 512]
+    swa_kv_cache: jax.Array,  # [pages, page_size, 512] sliding-window pool
+    workspace_buffer: Any = None,
+    sparse_indices: jax.Array | None = None,  # [B, Q, K] (first 128 = SWA)
+    compressed_kv_cache: jax.Array | None = None,  # [pages, ps, 512]
+    sparse_topk_lens: jax.Array | None = None,
+    seq_lens: jax.Array | None = None,
+    out: Any = None,
+    bmm1_scale: float = 1.0,
+    bmm2_scale: float = 1.0,
+    sinks: Any = None,
+    **_ignored,
+) -> jax.Array:
+    """DeepSeek V4 sparse MLA decode (reference _core.py:1487): head dim
+    512 for q and both pools; ``sparse_indices`` columns ``[:128]`` index
+    the SWA pool, the rest the compressed pool; ``sparse_topk_lens``
+    counts valid entries including the 128 SWA slots.
+
+    TPU design: both pools are row-gathered into one candidate set and a
+    single dense softmax runs over it (one MXU matmul per (b, q)), the
+    same unification the trtllm-gen kernel does across its two segment
+    descriptors.
+    """
+    del workspace_buffer, out
+    if sparse_indices is None:
+        raise ValueError("sparse_indices required")
+    n_swa = min(128, sparse_indices.shape[-1])
+    d = query.shape[-1]
+    swa_pool = swa_kv_cache.reshape(-1, d)
+    if compressed_kv_cache is not None and sparse_indices.shape[-1] > n_swa:
+        comp_pool = compressed_kv_cache.reshape(-1, d)
+        offset = swa_pool.shape[0]
+        # merge: rebase compressed indices past the SWA pool, stack pools
+        pool = jnp.concatenate([swa_pool, comp_pool], axis=0)
+        idx = jnp.concatenate(
+            [
+                sparse_indices[..., :n_swa],
+                jnp.where(
+                    sparse_indices[..., n_swa:] >= 0,
+                    sparse_indices[..., n_swa:] + offset,
+                    sparse_indices[..., n_swa:],
+                ),
+            ],
+            axis=-1,
+        )
+    else:
+        pool = swa_pool
+        idx = sparse_indices[..., :n_swa]
+    if sinks is not None and isinstance(sinks, (list, tuple)):
+        sinks = sinks[0]
+    o = sparse_mla_attention(
+        query, pool[:, None, :], idx, sparse_topk_lens,
+        sm_scale=float(bmm1_scale), head_dim_ckv=d, sinks=sinks,
+    )
+    if bmm2_scale != 1.0:
+        o = (o.astype(jnp.float32) * bmm2_scale).astype(o.dtype)
+    return o

@@ -280,6 +280,129 @@ def _delta_rule_chunked(
     return out, s_final
 
 
+def _delta_rule_chunked_vector(
+    q: jax.Array,  # [B, T, H, K] f32
+    k: jax.Array,
+    v: jax.Array,  # [B, T, H, V] f32
+    g: jax.Array,  # [B, T, H, K] per-K-dim log decay (<= 0)
+    beta: jax.Array,  # [B, T, H]
+    s0: jax.Array,  # [B, H, K, V] f32
+    scale: float,
+    chunk: int = 64,
+    sub: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """Chunk-parallel delta rule with a per-K-dimension decay gate (KDA).
+
+    Same WY form as the scalar-gate kernel (see _delta_rule_chunked), but
+    the decay between positions is the per-dim vector
+    ``exp(G_t - G_s) in R^K`` (G = within-chunk cumulative log-decay), so
+    the [C, C] matrices contract over K *through* the decay:
+
+      A_ts = b_t sum_kappa k_t[kappa] k_s[kappa] exp(G_t[k] - G_s[k])
+
+    Numerics: the naive factoring ``(k exp(G)) @ (k exp(-G))^T``
+    overflows (exp(-G) is unbounded). Instead each row sub-block of S
+    rows anchors the factorization at its own start ``a_i = G_{b_i}``:
+    for rows ``t >= b_i`` and columns ``s < b_i`` both exponents
+    ``G_t - a_i`` and ``a_i - G_s`` are <= 0 (G is non-increasing), so the
+    off-diagonal 3/4 of the matrix is exact, safe, and pure MXU matmul;
+    the [S, S] diagonal blocks materialize ``exp(G_t - G_s)`` directly
+    (bounded: differences of <= S steps). This mirrors how the
+    reference's flash-KDA kernel family (csrc/kda/, kda_prefill.py:563)
+    tiles the intra-chunk decay.
+    """
+    b, t, h, dk = q.shape
+    dv = v.shape[-1]
+    nc, c, s_sz = t // chunk, chunk, sub
+    nb = chunk // sub  # row sub-blocks per chunk
+
+    def to_chunks(a, trail):
+        return jnp.moveaxis(a.reshape(b, nc, c, h, *trail), 3, 2)
+
+    qc, kc, vc = to_chunks(q, (dk,)), to_chunks(k, (dk,)), to_chunks(v, (dv,))
+    gc, bc = to_chunks(g, (dk,)), to_chunks(beta, ())
+    tri_lower_s = jnp.tril(jnp.ones((s_sz, s_sz), bool), k=-1)
+    tri_incl_s = jnp.tril(jnp.ones((s_sz, s_sz), bool))
+    eye = jnp.eye(c, dtype=jnp.float32)
+
+    def decayed_mats(glc, kt, qt):
+        """[C, C] A-without-beta (strictly lower) and P (inclusive)."""
+        # glc: [B,H,C,K] cumulative (inclusive) log decay within the chunk
+        # anchor a_i = G_{b_i - 1}: the cumulative decay *before* the
+        # block's first row (block 0 anchors at 0)
+        prev = jnp.pad(glc[..., :-1, :], ((0, 0),) * 2 + ((1, 0), (0, 0)))
+        anchors = prev[..., ::s_sz, :]  # [B,H,NB,K]
+        kb = kt.reshape(*kt.shape[:-2], nb, s_sz, dk)
+        qb = qt.reshape(*qt.shape[:-2], nb, s_sz, dk)
+        gb = glc.reshape(*glc.shape[:-2], nb, s_sz, dk)
+        # row factors: exp(G_t - a_i) <= 1 within the block
+        row_dec = jnp.exp(gb - anchors[..., :, None, :])
+        k_row = kb  # raw k for the diagonal blocks
+        q_row = qb
+        kt_rowdec = kb * row_dec
+        qt_rowdec = qb * row_dec
+        # column factors per row-block: exp(a_i - G_s), zeroed at s >= b_i
+        col_pos = jnp.arange(c, dtype=jnp.int32)
+        blk_start = (jnp.arange(nb, dtype=jnp.int32) * s_sz)
+        col_valid = col_pos[None, :] < blk_start[:, None]  # [NB, C]
+        col_exp = jnp.exp(
+            jnp.minimum(anchors[..., :, None, :] - glc[..., None, :, :], 0.0)
+        )  # [B,H,NB,C,K]; min() guards masked (s>=b_i) entries from inf
+        ks_coldec = jnp.where(
+            col_valid[..., None], kt[..., None, :, :] * col_exp, 0.0
+        )
+        # off-diagonal rows: [B,H,NB,S,C]
+        a_off = jnp.einsum("...isk,...ick->...isc", kt_rowdec, ks_coldec)
+        p_off = jnp.einsum("...isk,...ick->...isc", qt_rowdec, ks_coldec)
+        # diagonal [S, S] blocks: direct exp(G_t - G_s), bounded by S steps
+        gdiff = gb[..., :, None, :] - gb[..., None, :, :]  # [B,H,NB,S,S,K]
+        dec = jnp.exp(gdiff)
+        a_diag = jnp.einsum("...tk,...sk,...tsk->...ts", k_row, k_row, dec)
+        p_diag = jnp.einsum("...tk,...sk,...tsk->...ts", q_row, k_row, dec)
+        a_diag = jnp.where(tri_lower_s, a_diag, 0.0)
+        p_diag = jnp.where(tri_incl_s, p_diag, 0.0)
+        # scatter diagonal blocks into the [.., NB, S, C] row strips
+        strips_a, strips_p = [], []
+        for i in range(nb):
+            pad = ((0, 0), (i * s_sz, c - (i + 1) * s_sz))
+            strips_a.append(jnp.pad(a_diag[..., i, :, :], ((0, 0),) * (a_diag.ndim - 3) + pad))
+            strips_p.append(jnp.pad(p_diag[..., i, :, :], ((0, 0),) * (p_diag.ndim - 3) + pad))
+        a_full = a_off + jnp.stack(strips_a, axis=-3)
+        p_full = p_off + jnp.stack(strips_p, axis=-3)
+        # [B,H,NB,S,C] -> [B,H,C,C]
+        a_full = a_full.reshape(*a_full.shape[:-3], c, c)
+        p_full = p_full.reshape(*p_full.shape[:-3], c, c)
+        return a_full, p_full
+
+    def step(s, xs):
+        qt, kt, vt, gt, bt = xs  # [B, H, C, *]
+        gl = jnp.cumsum(gt, axis=-2)  # [B,H,C,K] inclusive cumulative
+        a_nb, p_mat = decayed_mats(gl, kt, qt)
+        a_mat = bt[..., :, None] * a_nb
+        dec_in = jnp.exp(gl)  # [B,H,C,K] <= 1
+        pred = jnp.einsum("bhkv,bhtk->bhtv", s, kt * dec_in)
+        rhs = bt[..., None] * (vt - pred)
+        n_mat = -a_mat
+        inv = eye + n_mat
+        p2 = n_mat
+        for _ in range(max((c - 1).bit_length() - 1, 0)):
+            p2 = jnp.einsum("bhts,bhsu->bhtu", p2, p2)
+            inv = inv + jnp.einsum("bhts,bhsu->bhtu", inv, p2)
+        r = jnp.einsum("bhts,bhsv->bhtv", inv, rhs)  # [B,H,C,V]
+        o = (jnp.einsum("bhkv,bhtk->bhtv", s, qt * dec_in)
+             + jnp.einsum("bhts,bhsv->bhtv", p_mat, r)) * scale
+        dec_out = jnp.exp(gl[..., -1:, :] - gl)  # exp(G_C - G_s) <= 1
+        s_new = s * jnp.exp(gl[..., -1, :])[..., None] + jnp.einsum(
+            "bhtk,bhtv->bhkv", kt * dec_out, r)
+        return s_new, o
+
+    xs = tuple(jnp.moveaxis(a, 1, 0) for a in (qc, kc, vc, gc, bc))
+    s_final, os = jax.lax.scan(step, s0, xs)
+    out = jnp.moveaxis(os, 0, 1)
+    out = jnp.moveaxis(out, 2, 3).reshape(b, t, h, dv)
+    return out, s_final
+
+
 def chunk_gated_delta_rule(
     q: jax.Array,  # [total, Hq, K] (packed varlen) or [B, T, Hq, K]
     k: jax.Array,
@@ -477,8 +600,18 @@ def recurrent_kda(
         if initial_state is not None
         else jnp.zeros((b, h, dk, dv), jnp.float32)
     )
-    out, s_final = _delta_rule_scan(
-        qf, kf, v.astype(jnp.float32), gf, bf, s0, scale, seg_start
-    )
+    chunk = 64
+    if cu_seqlens is None and t >= 2 * chunk and t % chunk == 0:
+        # chunk-parallel MXU path (flash-KDA analog). KDA gates are
+        # log-decays (<= 0 by construction: -exp(A_log)*softplus); the
+        # clamp makes that a hard precondition of the anchored factoring.
+        out, s_final = _delta_rule_chunked_vector(
+            qf, kf, v.astype(jnp.float32), jnp.minimum(gf, 0.0), bf, s0,
+            scale, chunk=chunk,
+        )
+    else:
+        out, s_final = _delta_rule_scan(
+            qf, kf, v.astype(jnp.float32), gf, bf, s0, scale, seg_start
+        )
     out = out.astype(v.dtype)
     return (out, s_final) if output_final_state else (out, None)

@@ -26,6 +26,11 @@ from .ep import (  # noqa: F401
     moe_ep_forward,
 )
 from .dcp import dcp_decode_attention, dcp_merge  # noqa: F401
+from .fused import (  # noqa: F401
+    all_gather_matmul,
+    gemm_allreduce,
+    matmul_reduce_scatter,
+)
 from .parallel_attention import ParallelAttention, ParallelConfig  # noqa: F401
 from .mixed_comm import (  # noqa: F401
     MixedCommMode,

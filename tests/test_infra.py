@@ -163,3 +163,44 @@ def test_autotuner_drives_prefill_tiles(tmp_path, monkeypatch):
                                   kv_row_starts=starts)
     assert (plan2.row_block, plan2.kv_block) == (
         plan.row_block, plan.kv_block)
+
+
+def test_cache_bundle_roundtrip(tmp_path, monkeypatch):
+    """bundle-cache/install-cache (jit-cache-wheel analog): pack, wipe,
+    install, verify contents + manifest gate on toolchain mismatch."""
+    import json
+    import tarfile
+
+    import pytest
+
+    from flashinfer_tpu import aot
+    from flashinfer_tpu.env import env
+
+    src = tmp_path / "cache_src"
+    (src / "xla_cache").mkdir(parents=True)
+    (src / "xla_cache" / "exe1").write_bytes(b"compiled")
+    (src / "autotuner_cache.json").write_text("{}")
+    monkeypatch.setattr(env, "cache_dir", src)
+    bundle = str(tmp_path / "bundle.tar.gz")
+    aot.bundle_cache(bundle, verbose=False)
+
+    dst = tmp_path / "cache_dst"
+    monkeypatch.setattr(env, "cache_dir", dst)
+    aot.install_cache(bundle, verbose=False)
+    assert (dst / "xla_cache" / "exe1").read_bytes() == b"compiled"
+    assert json.loads((dst / "MANIFEST.json").read_text())["jax"]
+
+    # corrupt the manifest's jaxlib pin -> install must refuse
+    bad = tmp_path / "bad.tar.gz"
+    with tarfile.open(bundle, "r:gz") as t:
+        t.extractall(tmp_path / "unpack", filter="data")
+    man = tmp_path / "unpack" / "MANIFEST.json"
+    meta = json.loads(man.read_text())
+    meta["jaxlib"] = "0.0.1-other"
+    man.write_text(json.dumps(meta))
+    with tarfile.open(bad, "w:gz") as t:
+        for p in sorted((tmp_path / "unpack").rglob("*")):
+            t.add(p, arcname=str(p.relative_to(tmp_path / "unpack")))
+    with pytest.raises(RuntimeError, match="jaxlib"):
+        aot.install_cache(bad, verbose=False)
+    aot.install_cache(bad, force=True, verbose=False)  # override works

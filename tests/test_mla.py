@@ -153,3 +153,103 @@ def test_mla_ragged_qlen_stream():
         ref = np.einsum("hqk,kd->qhd", p, ckv_b)
         np.testing.assert_allclose(
             np.asarray(out)[qs], ref, rtol=2e-3, atol=2e-3)
+
+
+def _dense_from_sparse_ref(q, pool, idx, valid, d_ckv):
+    """Numpy reference: softmax over the valid gathered candidates."""
+    b, ql, h, dt = q.shape
+    out = np.zeros((b, ql, h, d_ckv), np.float32)
+    for i in range(b):
+        for t in range(ql):
+            sel = idx[i, t][valid[i, t]]
+            kv = pool[sel].astype(np.float32)  # [k, 576]
+            s = q[i, t].astype(np.float32) @ kv.T / np.sqrt(dt)
+            m = s.max(-1, keepdims=True)
+            p = np.exp(s - m)
+            out[i, t] = (p / p.sum(-1, keepdims=True)) @ kv[:, :d_ckv]
+    return out
+
+
+def test_sparse_mla_vs_dense_gather():
+    """Sparse top-k MLA (reference _sparse_mla_sm120.py semantics):
+    per-q-token global slot indices, negatives + beyond-topk_lens masked."""
+    from flashinfer_tpu.ops.attention.mla import sparse_mla_attention
+
+    rng = np.random.default_rng(3)
+    b, ql, h, k_top, d_ckv = 2, 2, 8, 24, 128
+    d_t = d_ckv + 64
+    n_slots = 160
+    pool = rng.standard_normal((n_slots, d_t)).astype(np.float32)
+    q = rng.standard_normal((b, ql, h, d_t)).astype(np.float32)
+    idx = rng.integers(0, n_slots, (b, ql, k_top)).astype(np.int32)
+    idx[0, 0, 5] = -1  # hole
+    lens = np.array([k_top, k_top - 4], np.int32)
+    valid = (idx >= 0) & (np.arange(k_top)[None, None, :] < lens[:, None, None])
+
+    o = sparse_mla_attention(
+        jnp.asarray(q), jnp.asarray(pool).reshape(n_slots // 16, 16, d_t),
+        jnp.asarray(idx), jnp.asarray(lens),
+        sm_scale=1.0 / np.sqrt(d_t), head_dim_ckv=d_ckv,
+    )
+    ref = _dense_from_sparse_ref(q, pool, idx, valid, d_ckv)
+    np.testing.assert_allclose(np.asarray(o), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_trtllm_mla_sparse_matches_dense_on_full_prefix():
+    """sparse_mla_top_k with indices = the full prefix must equal the
+    dense paged MLA result (reference cross-checks sparse vs dense the
+    same way in tests/attention/test_trtllm_gen_mla.py)."""
+    from flashinfer_tpu.ops.attention.mla import (
+        trtllm_batch_decode_with_kv_cache_mla,
+    )
+
+    rng = np.random.default_rng(4)
+    b, h, d_ckv, ps = 2, 8, 128, 16
+    d_t = d_ckv + 64
+    kv_lens = np.array([29, 41], np.int32)
+    max_pages = 3
+    cache = rng.standard_normal((b * max_pages, ps, d_t)).astype(np.float32)
+    table = np.arange(b * max_pages, dtype=np.int32).reshape(b, max_pages)
+    q = rng.standard_normal((b, 1, h, d_t)).astype(np.float32)
+
+    dense = trtllm_batch_decode_with_kv_cache_mla(
+        jnp.asarray(q), jnp.asarray(cache), block_tables=jnp.asarray(table),
+        seq_lens=jnp.asarray(kv_lens), kv_lora_rank=d_ckv,
+        bmm1_scale=1.0 / np.sqrt(d_t),
+    )
+    k_top = int(kv_lens.max())
+    idx = np.full((b, 1, k_top), -1, np.int32)
+    for i in range(b):
+        pos = np.arange(kv_lens[i])
+        idx[i, 0, :kv_lens[i]] = table[i][pos // ps] * ps + pos % ps
+    sparse = trtllm_batch_decode_with_kv_cache_mla(
+        jnp.asarray(q), jnp.asarray(cache), block_tables=jnp.asarray(idx),
+        seq_lens=None, kv_lora_rank=d_ckv, sparse_mla_top_k=k_top,
+        bmm1_scale=1.0 / np.sqrt(d_t),
+    )
+    np.testing.assert_allclose(
+        np.asarray(sparse), np.asarray(dense), rtol=2e-3, atol=2e-3)
+
+
+def test_sparse_mla_dsv4_two_pools():
+    from flashinfer_tpu.ops.attention.mla import (
+        trtllm_batch_decode_sparse_mla_dsv4,
+    )
+
+    rng = np.random.default_rng(5)
+    b, ql, h, d = 1, 1, 4, 128
+    swa = rng.standard_normal((4, 8, d)).astype(np.float32)  # 32 slots
+    comp = rng.standard_normal((4, 8, d)).astype(np.float32)
+    n_swa = 128  # column convention: all of our 130 columns < 128 are SWA
+    idx = np.full((b, ql, 130), -1, np.int32)
+    idx[0, 0, :16] = np.arange(16)  # SWA slots
+    idx[0, 0, 128:130] = [3, 7]  # compressed slots
+    lens = np.array([130], np.int32)
+    o = trtllm_batch_decode_sparse_mla_dsv4(
+        jnp.asarray(rng.standard_normal((b, ql, h, d)).astype(np.float32)),
+        jnp.asarray(swa), sparse_indices=jnp.asarray(idx),
+        compressed_kv_cache=jnp.asarray(comp),
+        sparse_topk_lens=jnp.asarray(lens), bmm1_scale=1.0 / np.sqrt(d),
+    )
+    assert o.shape == (b, ql, h, d)
+    assert np.isfinite(np.asarray(o)).all()

@@ -223,3 +223,61 @@ def test_chunked_delta_rule_matches_scan():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(s_chk), np.asarray(s_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_chunked_vector_gate_matches_scan():
+    """Chunk-parallel KDA (per-K-dim decay gate) == sequential scan.
+    Includes a strong-decay head to exercise the anchored factoring's
+    numerics (the naive exp(-G) factoring overflows here)."""
+    from flashinfer_tpu.ops.ssm import (
+        _delta_rule_chunked_vector, _delta_rule_scan,
+    )
+
+    rng = np.random.default_rng(7)
+    b, t, h, dk, dv = 2, 192, 2, 32, 16
+    q = jnp.asarray(rng.standard_normal((b, t, h, dk)), jnp.float32)
+    k = rng.standard_normal((b, t, h, dk))
+    k = jnp.asarray(k / np.linalg.norm(k, axis=-1, keepdims=True),
+                    jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, dv)), jnp.float32)
+    # head 0: mild decay; head 1: strong decay (up to -3/step => the
+    # within-chunk cumulative reaches -192, exp(+192) would overflow f32)
+    g = -np.abs(rng.standard_normal((b, t, h, dk))).astype(np.float32)
+    g[..., 1, :] *= 3.0
+    g[..., 0, :] *= 0.05
+    g = jnp.asarray(g)
+    beta = jnp.asarray(rng.random((b, t, h)), jnp.float32)
+    s0 = jnp.asarray(rng.standard_normal((b, h, dk, dv)) * 0.1, jnp.float32)
+    scale = 1.0 / np.sqrt(dk)
+
+    o_ref, s_ref = _delta_rule_scan(q, k, v, g, beta, s0, scale, None)
+    o_chk, s_chk = _delta_rule_chunked_vector(q, k, v, g, beta, s0, scale,
+                                              chunk=64)
+    assert np.isfinite(np.asarray(o_chk)).all()
+    np.testing.assert_allclose(np.asarray(o_chk), np.asarray(o_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(s_chk), np.asarray(s_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_recurrent_kda_chunked_dispatch_matches_scan():
+    """recurrent_kda takes the chunked path at t=128 and must agree with
+    the scan path (t=127 forces the scan)."""
+    rng = np.random.default_rng(8)
+    b, t, h, dk, dv = 1, 128, 2, 16, 16
+    q = rng.standard_normal((b, t, h, dk)).astype(np.float32)
+    k = rng.standard_normal((b, t, h, dk)).astype(np.float32)
+    v = rng.standard_normal((b, t, h, dv)).astype(np.float32)
+    g = -np.abs(rng.standard_normal((b, t, h, dk))).astype(np.float32) * 0.2
+    beta = rng.uniform(0.1, 0.9, (b, t, h)).astype(np.float32)
+
+    out_chunked, s_chunked = recurrent_kda(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(g),
+        jnp.asarray(beta), output_final_state=True)
+    out_scan, s_scan = recurrent_kda(
+        jnp.asarray(q[:, :127]), jnp.asarray(k[:, :127]),
+        jnp.asarray(v[:, :127]), jnp.asarray(g[:, :127]),
+        jnp.asarray(beta[:, :127]), output_final_state=True)
+    np.testing.assert_allclose(
+        np.asarray(out_chunked[:, :127]), np.asarray(out_scan),
+        rtol=2e-3, atol=2e-3)
