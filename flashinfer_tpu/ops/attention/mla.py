@@ -410,22 +410,26 @@ def xqa_mla(
     import math as _math
 
     b, beam, h, d_total = q.shape
-    if beam != 1:
-        raise NotImplementedError("beam search MLA decode lands later")
     d_ckv = d_total - 64
     if sm_scale is None:
         sm_scale = q_scale / _math.sqrt(d_total)
     kvf = kv_cache
     if kvf.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
         kvf = kvf.astype(jnp.bfloat16)
+    # beams share their request's cache (reference xqa.py beam_width):
+    # fold beam into batch with a repeated page table — each beam is an
+    # independent non-causal query over the same prefix
+    qq = q.reshape(b * beam, h, d_total)
+    pt = jnp.repeat(page_table, beam, axis=0) if beam > 1 else page_table
+    sl = jnp.repeat(seq_lens, beam, axis=0) if beam > 1 else seq_lens
     o, _ = paged_mla_attention(
-        q[:, 0], kvf, page_table, seq_lens.astype(jnp.int32),
+        qq, kvf, pt, sl.astype(jnp.int32),
         num_heads=h, q_len=1, head_dim_ckv=d_ckv, sm_scale=float(sm_scale),
         causal=False,
         ckv_scale=float(kv_scale) if kv_scale is not None else 1.0,
         kpe_scale=float(kv_scale) if kv_scale is not None else 1.0,
     )
-    return o[:, None]
+    return o.reshape(b, beam, h, d_ckv)
 
 def sparse_mla_attention(
     q: jax.Array,  # [B, Q, H, 576] (nope-absorbed 512 | pe 64)

