@@ -247,6 +247,8 @@ from .ops.deep_gemm import (  # noqa: F401
 )
 from .ops.msa import (  # noqa: F401
     msa_proxy_score,
+    msa_proxy_score_fp4,
+    msa_quantize_qk_fp4,
     msa_sparse_attention,
     msa_sparse_decode_attention,
     msa_topk_select,

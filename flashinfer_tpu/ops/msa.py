@@ -114,6 +114,79 @@ def msa_proxy_score(
     return out
 
 
+def msa_quantize_qk_fp4(
+    x: jax.Array,  # [total, H, 128] bf16/f32
+    global_scale: float | None = None,
+) -> tuple[jax.Array, jax.Array, float]:
+    """Quantize a proxy Q or K to packed NVFP4 (reference proxy_score.py
+    _quantize_qk_to_nvfp4). Returns ``(x_fp4 [total,H,64] uint8, per-16
+    e4m3-range scales, 1/global_scale)`` in this package's fp4 scale layout
+    (per-vector trailing dim, not the cuBLAS 128x4 tiling — TPU has no
+    tensor-core scale-tile requirement)."""
+    from .quantization import fp4_quantize
+
+    if x.ndim != 3 or x.shape[2] != 128:
+        raise ValueError(f"x must be (total, num_heads, 128), got {x.shape}")
+    if global_scale is None:
+        amax = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        global_scale = (448.0 * 6.0) / max(amax, 1e-12)
+    xq, sf = fp4_quantize(
+        x, jnp.asarray(global_scale, jnp.float32), sf_vec_size=16
+    )
+    return xq, sf, 1.0 / float(global_scale)
+
+
+def msa_proxy_score_fp4(
+    q_fp4: jax.Array,  # [total_q, H_q, 64] uint8 packed e2m1
+    k_fp4: jax.Array,  # [total_k, H_kv, 64] or paged [pages, ps, H_kv, 64]
+    q_scale: jax.Array,
+    k_scale: jax.Array,
+    q_global_scale: float,
+    k_global_scale: float,
+    cu_seqlens_q: jax.Array,
+    cu_seqlens_k: jax.Array | None = None,
+    *,
+    page_table: jax.Array | None = None,
+    seqused_k: jax.Array | None = None,
+    causal: bool = True,
+    max_seqlen_q: int | None = None,
+    max_k_tiles: int | None = None,
+    output: jax.Array | None = None,
+    reduce_heads: bool = False,
+    q_offset: jax.Array | None = None,
+) -> jax.Array:
+    """NVFP4 MSA proxy pass (reference msa_ops/proxy_score.py:611
+    msa_proxy_score_fp4): same contract as :func:`msa_proxy_score` but Q/K
+    arrive packed e2m1 + per-16 block scales + per-tensor global scales, so
+    the full-index K read from HBM is ~4.5 bits/elem.
+
+    TPU mapping: the e2m1 unpack and scale multiply are elementwise bit ops
+    XLA fuses into the einsum's input stream — HBM traffic stays at packed
+    size, matching the reference's bandwidth intent without fp4 tensor
+    cores. The two global scales fold into the logits as
+    ``q_global_scale * k_global_scale`` before the block max, as in the
+    reference.
+    """
+    from .quantization import fp4_dequantize
+
+    def deq(xq, sf):
+        return fp4_dequantize(xq, sf, sf_vec_size=16, dtype=jnp.float32)
+
+    q = deq(q_fp4, q_scale)
+    k = deq(k_fp4, k_scale)  # flat or paged: unpack is layout-agnostic
+    out = msa_proxy_score(
+        q, k, cu_seqlens_q, cu_seqlens_k,
+        page_table=page_table, seqused_k=seqused_k, causal=causal,
+        max_seqlen_q=max_seqlen_q, max_k_tiles=max_k_tiles,
+        reduce_heads=reduce_heads, q_offset=q_offset,
+    )
+    gscale = float(q_global_scale) * float(k_global_scale)
+    if gscale != 1.0:
+        finite = out > -jnp.inf
+        out = jnp.where(finite, out * gscale, out)
+    return out
+
+
 def msa_topk_select(
     max_score: jax.Array,  # [H, max_k_tiles, total_q] f32
     topk: int,

@@ -143,3 +143,28 @@ def test_msa_proxy_score_paged():
         page_table=jnp.asarray(pt), seqused_k=jnp.asarray(kv_lens))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_msa_proxy_score_fp4_matches_dequant_reference():
+    """fp4 proxy == bf16 proxy on the dequantized packed inputs, with the
+    global scales folded into the logits (reference proxy_score.py:611)."""
+    from flashinfer_tpu.ops.msa import (
+        msa_proxy_score, msa_proxy_score_fp4, msa_quantize_qk_fp4,
+    )
+    from flashinfer_tpu.ops.quantization import fp4_dequantize
+
+    rng = np.random.default_rng(3)
+    total, hq, hkv = 24, 4, 2
+    q = jnp.asarray(rng.standard_normal((total, hq, 128)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((total, hkv, 128)), jnp.float32)
+    cu = jnp.asarray([0, 10, 24], jnp.int32)
+    qf4, qs, qg = msa_quantize_qk_fp4(q)
+    kf4, ks, kg = msa_quantize_qk_fp4(k)
+    out = msa_proxy_score_fp4(qf4, kf4, qs, ks, qg, kg, cu)
+    qd = fp4_dequantize(qf4, qs, sf_vec_size=16, dtype=jnp.float32)
+    kd = fp4_dequantize(kf4, ks, sf_vec_size=16, dtype=jnp.float32)
+    ref = np.asarray(msa_proxy_score(qd, kd, cu), np.float32) * (qg * kg)
+    outn = np.asarray(out, np.float32)
+    fin = np.isfinite(ref)
+    np.testing.assert_allclose(outn[fin], ref[fin], rtol=1e-4, atol=1e-4)
+    assert np.all(np.isneginf(outn[~fin]))
