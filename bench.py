@@ -67,9 +67,21 @@ def main() -> None:
         bench_model_decode, bench_model_ttft,
     )
 
+    # chip-class probe FIRST: the axon pool's device_kind always reads
+    # "v5 lite" even when the drawn chip measures v5p-class (368 bf16
+    # TFLOP/s / 2.7 TB/s), so classify by measured matmul throughput and
+    # scale the roofline denominator accordingly.
+    chip_peak_bw = [None]
+
+    def _probe_gemm():
+        r = bench_mm_bf16()
+        if r.get("value", 0) > 260:  # v5e peaks ~197-206; v5p ~370
+            chip_peak_bw[0] = 2765.0
+        return r
+
+    _extra("gemm_bf16_tflops", _probe_gemm)
     _extra("prefill_attention_tflops", bench_prefill_attention)
     _extra("mla_decode_bw", bench_mla_decode)
-    _extra("gemm_bf16_tflops", bench_mm_bf16)
     _extra("gemm_fp8_tflops", bench_mm_fp8_groupwise)
     _extra("moe_tflops", bench_fused_moe)
     _extra("model_decode_tokens_per_s", bench_model_decode)
@@ -85,7 +97,7 @@ def main() -> None:
         r = bench_decode_attention()
         if best is None or r["value"] > best["value"]:
             best = r
-    peak = _peak_bw_gbs()
+    peak = chip_peak_bw[0] or _peak_bw_gbs()
     print(json.dumps({
         "metric": "paged_decode_attention_bw",
         "value": best["value"],

@@ -294,3 +294,40 @@ from .ops.compat_ops import (  # noqa: F401
     b12x_fused_moe,
     cute_dsl_fused_moe_nvfp4,
 )
+
+# ---- per-op module registry (reference jit/core.py jit_spec_registry) ----
+from . import modules as _modules  # noqa: E402
+from .modules import module_registry  # noqa: F401,E402
+
+
+def _register_modules() -> None:
+    from .ops import gmm as _gmm
+    from .ops.attention import mla as _mla
+    from .ops.attention import pallas_decode as _pd
+    from .ops.attention import pallas_prefill as _pp
+
+    reg = _modules.register
+    reg("attention.decode.paged_streaming", _pd._paged_decode_attention,
+        kind="pallas-kernel")
+    reg("attention.decode.paged_combined", _pd.paged_decode_attention_combined,
+        kind="pallas-kernel")
+    reg("attention.decode.paged_blockspec", _pd.paged_decode_attention_blockspec,
+        kind="pallas-kernel")
+    reg("attention.decode.fused_append", _pd.paged_decode_attention_append,
+        kind="pallas-kernel")
+    reg("attention.prefill.packed", _pp.prefill_packed, kind="pallas-kernel")
+    reg("attention.prefill.packed_stream", _pp.prefill_packed_stream,
+        kind="pallas-kernel")
+    reg("attention.mla.paged", _mla.paged_mla_attention, kind="pallas-kernel")
+    reg("gemm.grouped_quant", _gmm._grouped_matmul_quant,
+        kind="pallas-kernel")
+
+    def _native_probe():
+        from . import native
+
+        return 1 if native.get_lib() is not None else 0
+
+    reg("native.planner", _native_probe, kind="native")
+
+
+_register_modules()

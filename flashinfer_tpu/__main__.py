@@ -68,15 +68,26 @@ def cmd_clear_cache(_args) -> int:
 
 
 def cmd_module_status(_args) -> int:
-    """List autotuner cache entries (the TPU analog of JIT module status
-    — XLA owns kernel compilation, so the tunable-tactic cache is the
-    user-visible module state)."""
+    """Per-op module registry + autotuner cache (reference jit/core.py
+    jit_spec_registry status + the tunable-tactic cache)."""
+    import flashinfer_tpu  # registers the op modules
+
     from .autotuner import AutoTuner
+    from .modules import module_registry
 
     t = AutoTuner.get()
     t.load_from_file()
-    print(json.dumps({"cache_path": str(t.cache_path),
-                      "entries": t.cache}, indent=2))
+    print(json.dumps({
+        "stats": module_registry.get_stats(),
+        "modules": [
+            {"name": s.name, "status": s.status, "kind": s.kind,
+             "executables": s.num_executables,
+             "library": str(s.library_path) if s.library_path else None}
+            for s in module_registry.get_all_statuses()
+        ],
+        "autotuner_cache_path": str(t.cache_path),
+        "autotuner_entries": t.cache,
+    }, indent=2))
     return 0
 
 

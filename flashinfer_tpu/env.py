@@ -52,6 +52,11 @@ class _Env:
         )
         # Disable the native (C++) planner; use the pure-python fallback.
         self.disable_native: bool = _env_bool("FLASHINFER_TPU_DISABLE_NATIVE", False)
+        # In-kernel event tags (reference profiler.cuh PROFILER_EVENT_START
+        # ring buffer): emit pltpu.trace_value scalars from kernel hot
+        # loops into the xprof device trace. Compiled Mosaic only.
+        self.kernel_events: bool = _env_bool(
+            "FLASHINFER_TPU_KERNEL_EVENTS", False)
         # Trace dump (reference: FLASHINFER_TRACE_DUMP, fi_trace.py).
         self.trace_dump: bool = _env_bool("FLASHINFER_TPU_TRACE_DUMP", False)
         self.trace_dir: Path = Path(

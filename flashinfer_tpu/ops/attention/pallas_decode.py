@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...env import resolve_interpret
+from ...env import env, resolve_interpret
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -224,6 +224,7 @@ def _decode_kernel_v2(
     variant=None,  # AttentionVariant hook points (variants.py)
     rope_theta: float = 0.0,  # > 0: rotate K on the fly (pre-rope cache)
     rope_scale: float = 1.0,
+    emit_events: bool = False,  # pltpu.trace_value tags (profiler.py)
 ):
     # optional aliased cache-output ref precedes the 4 scratch entries
     k_buf, v_buf, sem, append_sem = rest[-4:]
@@ -288,6 +289,11 @@ def _decode_kernel_v2(
         jax.lax.div(kv_len + chunk_tokens - 1, chunk_tokens), 1
     )
     valid_chunks = jnp.minimum(valid_chunks, num_chunks)
+    if emit_events:
+        # event tags in the xprof device trace (reference profiler.cuh
+        # event ring buffer): per-request sweep extent + kv length
+        pltpu.trace_value("fi.decode.kv_len", kv_len)
+        pltpu.trace_value("fi.decode.valid_chunks", valid_chunks)
 
     @pl.when(b == 0)
     def _bootstrap():
@@ -458,14 +464,115 @@ def _decode_kernel_v2(
     lse_ref[0] = jnp.broadcast_to(lse, (rows, 128)).astype(lse_ref.dtype)
 
 
+def _tuned_chunk_pages(page_size: int, max_pages: int, rows: int,
+                       kv_dtype: str) -> int:
+    """Autotuner-backed DMA chunk size for the streaming decode kernel
+    (VERDICT r1 weak #9). Key: page geometry + head-row count + KV dtype;
+    max_pages bucketed to powers of two. Fallback: the swept default
+    (512 tokens per chunk, capped at 32 pages for the semaphore budget)."""
+    from ...autotuner import AutoTuner
+
+    default = max(1, min(512 // page_size, 32))
+    tuner = AutoTuner.get()
+    if not tuner._loaded:
+        tuner.load_from_file()
+    mpb = 1 << max(0, (max(max_pages, 1) - 1).bit_length())
+    key = f"ps{page_size}_mp{mpb}_r{rows}_{kv_dtype}"
+    if not tuner.is_tuning:
+        hit = tuner.cache.get(f"decode_chunk|()|{key}")
+        return int(hit[1]) if hit is not None else default
+    runner = _DecodeChunkRunner(page_size, mpb, rows, kv_dtype)
+    _, tactic = tuner.choose_one("decode_chunk", [runner], [],
+                                 cache_key_extra=key)
+    return int(tactic) if tactic not in (None, -1) else default
+
+
+class _DecodeChunkRunner:
+    """Profiles the streaming decode kernel over DMA chunk sizes on a
+    synthetic paged batch (reference TunableRunner contract)."""
+
+    def __init__(self, page_size, max_pages, rows, kv_dtype):
+        self.page_size, self.max_pages = page_size, max_pages
+        self.rows, self.kv_dtype = rows, kv_dtype
+
+    def get_valid_tactics(self, inputs=None, profile=None):
+        cands = [c for c in (4, 8, 16, 32) if c <= self.max_pages]
+        d = max(1, min(512 // self.page_size, 32))
+        if d not in cands:
+            cands.append(d)
+        return cands
+
+    def _setup(self):
+        rng = np.random.default_rng(0)
+        hkv, d = min(8, max(1, self.rows // 8)), 128
+        batch = 32
+        npages = batch * self.max_pages
+        dt = jnp.int8 if "int8" in self.kv_dtype else jnp.bfloat16
+        mk = lambda *s: jnp.asarray(
+            (rng.standard_normal(s) * (40 if dt == jnp.int8 else 1)), dt)
+        k = mk(npages, self.page_size, hkv, d)
+        v = mk(npages, self.page_size, hkv, d)
+        hq = self.rows  # rows is hkv*g8-padded, always a multiple of 8
+        q = jnp.asarray(rng.standard_normal((batch, hq, d)), jnp.bfloat16)
+        pt = jnp.asarray(
+            np.arange(npages, dtype=np.int32).reshape(
+                batch, self.max_pages))
+        lens = jnp.full((batch,), self.max_pages * self.page_size,
+                        jnp.int32)
+        return q, k, v, pt, lens
+
+    def forward(self, inputs=None, tactic=None):
+        q, k, v, pt, lens = self._setup()
+        cp = int(tactic) if tactic not in (None, -1) else None
+        return paged_decode_attention(
+            q, k, v, pt, lens, kernel_impl="streaming", chunk_pages=cp)[0]
+
+    def bench(self, inputs=None, tactic=None) -> float:
+        from ...testing.utils import bench_loop
+
+        q, k, v, pt, lens = self._setup()
+        cp = int(tactic) if tactic not in (None, -1) else None
+
+        def step(q, k, v, pt, lens):
+            o, _ = paged_decode_attention(
+                q, k, v, pt, lens, kernel_impl="streaming", chunk_pages=cp)
+            return o.astype(q.dtype)
+
+        return min(bench_loop(step, q, k, v, pt, lens, iters=8, reps=1)
+                   for _ in range(2))
+
+
+def paged_decode_attention(
+    q, k_cache, v_cache, page_table, kv_lens, *,
+    chunk_pages: int | None = None,  # DMA chunk size; None = tuner/default
+    **kw,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched paged-KV decode attention (see `_paged_decode_attention`).
+
+    Resolves the DMA chunk size through the autotuner OUTSIDE the jit
+    boundary so a freshly tuned choice takes effect on the next call.
+    """
+    if chunk_pages is None and kw.get("kernel_impl", "auto") != "blockspec":
+        hq = q.shape[1]
+        hkv = k_cache.shape[2]
+        g8 = max(8, -(-(hq // hkv) // 8) * 8)
+        chunk_pages = _tuned_chunk_pages(
+            k_cache.shape[1], page_table.shape[1], hkv * g8,
+            str(k_cache.dtype))
+    return _paged_decode_attention(
+        q, k_cache, v_cache, page_table, kv_lens,
+        chunk_pages=chunk_pages, **kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "sm_scale", "logits_soft_cap", "window_left", "k_scale", "v_scale",
         "interpret", "kernel_impl", "variant", "rope_theta", "rope_scale",
+        "chunk_pages",
     ),
 )
-def paged_decode_attention(
+def _paged_decode_attention(
     q: jax.Array,  # [B, H_q, D]
     k_cache: jax.Array,  # [pages, page_size, H_kv, D]  (NHD)
     v_cache: jax.Array,
@@ -483,6 +590,7 @@ def paged_decode_attention(
     variant=None,  # AttentionVariant hook points (variants.py)
     rope_theta: float = 0.0,  # > 0: the cache holds PRE-ROPE keys and the
     rope_scale: float = 1.0,  # kernel rotates them on the fly (q pre-roped)
+    chunk_pages: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched paged-KV decode attention.
 
@@ -520,7 +628,10 @@ def paged_decode_attention(
 
     # cap: 4 slots x chunk_pages x 2 DMA semaphores must fit the ~2KB
     # sflag space (<= 32 pages/chunk keeps it at 256)
-    chunk_pages = max(1, min(512 // page_size, 32))
+    if chunk_pages is None:
+        chunk_pages = _tuned_chunk_pages(
+            page_size, page_table.shape[1], rows, str(k_cache.dtype))
+    chunk_pages = max(1, min(chunk_pages, 32))
     max_pages = page_table.shape[1]
     pad_pages = (-max_pages) % chunk_pages
     if pad_pages:
@@ -553,6 +664,7 @@ def paged_decode_attention(
         window_left=int(window_left), k_scale=float(k_scale),
         v_scale=float(v_scale), use_sinks=use_sinks, variant=variant,
         rope_theta=float(rope_theta), rope_scale=float(rope_scale),
+        emit_events=env.kernel_events and not interp,
     )
     positions_dummy = jnp.zeros((batch,), jnp.int32)
     knew_dummy = jnp.zeros((1, 1, num_kv_heads * head_dim), k_cache.dtype)

@@ -36,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...env import resolve_interpret
+from ...env import env, resolve_interpret
 from ...utils import cdiv, next_power_of_2
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
@@ -1093,6 +1093,7 @@ def _prefill_kernel_hm(
     variant=None,  # AttentionVariant: the six traced hook points
     rope_theta: float = 0.0,  # > 0: rotate K chunks on the fly
     rope_scale: float = 1.0,
+    emit_events: bool = False,  # pltpu.trace_value tags (profiler.py)
 ):
     """Streaming prefill v2 (TPU production path).
 
@@ -1135,6 +1136,12 @@ def _prefill_kernel_hm(
         return jnp.maximum(
             jax.lax.div(jnp.maximum(eff, 1) + kb - 1, kb), 1
         )
+
+    if emit_events:
+        # event tags into the xprof device trace (reference profiler.cuh
+        # ring buffer): this work's kv extent and chunk count
+        pltpu.trace_value("fi.prefill.kv_len", work_kv_len_ref[w])
+        pltpu.trace_value("fi.prefill.n_chunks", n_chunks_of(w))
 
     parity = jax.lax.rem(h * num_w + w, 2)
 
@@ -1408,6 +1415,7 @@ def prefill_packed_hm(
     )
     num_works = work_q_blk.shape[0]
     rb, kb = row_block, kv_block
+    interp = resolve_interpret(interpret)
 
     def q_map(h, w, wqb, wkr, wkl, wql, wqp):
         return (h, wqb[w], 0)
@@ -1424,6 +1432,7 @@ def prefill_packed_hm(
         use_sinks=bool(use_sinks), use_alibi=bool(use_alibi),
         variant=variant,
         rope_theta=float(rope_theta), rope_scale=float(rope_scale),
+        emit_events=env.kernel_events and not interp,
     )
     # sinks/alibi unused: shrink the per-step aux transfer to one tile
     # (a full [rb, 128] f32 block per grid step is ~67 MB of dead DMA

@@ -409,17 +409,17 @@ def trtllm_fp8_block_scale_routed_moe(topk_ids, topk_weights, hidden_states,
                                       gemm1_weights, gemm1_weights_scale,
                                       gemm2_weights, gemm2_weights_scale,
                                       **kw):
+    """fp8 experts stay quantized: transpose the 1-byte tensors to the
+    [E, K, N] layout (one int8-width copy, half a bf16 dequant) and ride
+    the grouped in-kernel-dequant path (fused_moe block-scale route)."""
     from .moe import fused_moe
 
-    def dq(wq, ws):
-        e, r, c = wq.shape
-        wf = wq.astype(jnp.float32).reshape(e, r // 128, 128, c // 128, 128)
-        return (wf * ws[:, :, None, :, None]).reshape(e, r, c).astype(
-            jnp.bfloat16)
-
-    w13 = jnp.swapaxes(dq(gemm1_weights, gemm1_weights_scale), 1, 2)
-    w2 = jnp.swapaxes(dq(gemm2_weights, gemm2_weights_scale), 1, 2)
+    w13 = jnp.swapaxes(gemm1_weights, 1, 2)
+    w2 = jnp.swapaxes(gemm2_weights, 1, 2)
+    s13 = jnp.swapaxes(gemm1_weights_scale, 1, 2)
+    s2 = jnp.swapaxes(gemm2_weights_scale, 1, 2)
     return fused_moe(hidden_states, w13, w2, topk_ids, topk_weights,
+                     w13_scale=s13, w2_scale=s2,
                      out_dtype=hidden_states.dtype)
 
 

@@ -7,6 +7,14 @@ intra-kernel timelines come from the XLA/TPU profiler
 (`jax.profiler.trace`, viewable in Perfetto/TensorBoard), and host-side
 op spans are collected by :class:`ProfilerContext` and exported as
 chrome-trace JSON (Perfetto-compatible).
+
+In-kernel event tags: set ``FLASHINFER_TPU_KERNEL_EVENTS=1`` and the
+streaming decode/prefill kernels emit ``pltpu.trace_value`` scalars
+(``fi.decode.kv_len``, ``fi.decode.valid_chunks``, ``fi.prefill.kv_len``,
+``fi.prefill.n_chunks``) from inside the kernel hot path. They attach to
+the kernel's trace event in the xprof capture taken under
+:func:`device_trace` — the TPU analog of the reference's per-block event
+ring buffer (compiled Mosaic only; ignored under the interpreter).
 """
 
 from __future__ import annotations

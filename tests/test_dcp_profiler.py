@@ -102,3 +102,31 @@ def test_green_ctx_partitions():
     meshes = make_partition_meshes(partitions=2)
     assert len(meshes) == 2
     assert meshes[0].devices.size == 4
+
+
+def test_kernel_events_flag_safe_under_interpreter(monkeypatch):
+    """FLASHINFER_TPU_KERNEL_EVENTS must not break the interpreter path
+    (trace_value has no CPU lowering; the flag only arms compiled runs)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from flashinfer_tpu.env import env
+    from flashinfer_tpu.ops.attention.pallas_decode import (
+        paged_decode_attention,
+    )
+
+    monkeypatch.setenv("FLASHINFER_TPU_KERNEL_EVENTS", "1")
+    env.refresh()
+    assert env.kernel_events
+    try:
+        rng = np.random.default_rng(0)
+        k = jnp.asarray(rng.standard_normal((4, 8, 1, 128)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((4, 8, 1, 128)), jnp.bfloat16)
+        q = jnp.asarray(rng.standard_normal((2, 8, 128)), jnp.bfloat16)
+        pt = jnp.asarray(np.arange(4, dtype=np.int32).reshape(2, 2))
+        lens = jnp.full((2,), 16, jnp.int32)
+        o, _ = paged_decode_attention(q, k, v, pt, lens,
+                                      kernel_impl="streaming")
+        assert np.isfinite(np.asarray(o, np.float32)).all()
+    finally:
+        monkeypatch.delenv("FLASHINFER_TPU_KERNEL_EVENTS")
+        env.refresh()

@@ -111,3 +111,39 @@ def test_trtllm_bf16_moe_entry(rng):
         jnp.swapaxes(g2, 1, 2).astype(jnp.float32), ids, w,
     )
     np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=5e-2, atol=5e-2)
+
+
+def test_trtllm_fp8_block_scale_routed_moe_stays_quantized():
+    """Routed fp8-block MoE matches the bf16 MoE on the dequantized
+    weights (weights never materialize as bf16 — gmm in-kernel dequant)."""
+    from flashinfer_tpu.ops.compat_ops import (
+        trtllm_fp8_block_scale_routed_moe,
+    )
+
+    rng = np.random.default_rng(5)
+    e, h, i_sz, t, topk = 4, 128, 128, 8, 2
+    # reference layout: gemm1 [E, 2I, H], gemm2 [E, H, I]
+    g1 = jnp.asarray(rng.standard_normal((e, 2 * i_sz, h)) * 0.1,
+                     jnp.float8_e4m3fn)
+    g2 = jnp.asarray(rng.standard_normal((e, h, i_sz)) * 0.1,
+                     jnp.float8_e4m3fn)
+    s1 = jnp.asarray(rng.uniform(0.5, 2.0, (e, 2 * i_sz // 128, h // 128)),
+                     jnp.float32)
+    s2 = jnp.asarray(rng.uniform(0.5, 2.0, (e, h // 128, i_sz // 128)),
+                     jnp.float32)
+    x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, e, (t, topk)), jnp.int32)
+    wts = jnp.full((t, topk), 1.0 / topk, jnp.float32)
+    out = trtllm_fp8_block_scale_routed_moe(ids, wts, x, g1, s1, g2, s2)
+
+    def dq(wq, ws):
+        e_, r, c = wq.shape
+        wf = wq.astype(jnp.float32).reshape(e_, r // 128, 128, c // 128, 128)
+        return (wf * ws[:, :, None, :, None]).reshape(e_, r, c)
+
+    ref = moe.fused_moe(x, jnp.swapaxes(dq(g1, s1), 1, 2).astype(jnp.bfloat16),
+                    jnp.swapaxes(dq(g2, s2), 1, 2).astype(jnp.bfloat16),
+                    ids, wts, out_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.05)
