@@ -15,3 +15,5 @@ from .llama import (  # noqa: F401
     make_sharded_decode_fn,
     prefill,
 )
+from . import deepseek  # noqa: F401
+from .deepseek import DeepseekConfig  # noqa: F401

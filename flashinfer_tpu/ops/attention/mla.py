@@ -328,13 +328,18 @@ class BatchMLAPagedAttentionWrapper:
         q_len, batch = p["qmax_pad"], p["batch"]
         qn = q_nope.reshape(batch, q_len * h, d_ckv)
         qp = q_pe.reshape(batch, q_len * h, d_kpe)
-        q = jnp.concatenate([qn, qp], axis=-1)
-        if ckv_cache.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
-            kv = jnp.concatenate(
-                [ckv_cache.astype(jnp.bfloat16),
-                 kpe_cache.astype(jnp.bfloat16)], axis=-1)
+        if kpe_cache is None:
+            # combined lane-padded cache [pages, ps, d_ckv + kpe_pad]:
+            # zero-pad q_pe to the cache's pe width (zeros score 0)
+            kv = ckv_cache
+            pad = kv.shape[-1] - d_ckv - d_kpe
+            if pad:
+                qp = jnp.pad(qp, ((0, 0), (0, 0), (0, pad)))
         else:
             kv = jnp.concatenate([ckv_cache, kpe_cache], axis=-1)
+        q = jnp.concatenate([qn, qp], axis=-1)
+        if kv.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+            kv = kv.astype(jnp.bfloat16)
         o, lse_out = paged_mla_attention(
             q, kv, self._page_table, self._kv_lens,
             num_heads=h, q_len=q_len, head_dim_ckv=d_ckv,

@@ -383,3 +383,140 @@ def mla_stream(
     )(w_req, w_tile, kv_lens, q_lens, page_table,
       q, ckv_cache, kpe_cache)
     return out, lse[:, :, 0]
+
+
+# ---------------------------------------------------------------------------
+# Combined-cache row append (the MLA analog of paged_append_rows)
+# ---------------------------------------------------------------------------
+
+
+def _mla_append_rows_kernel(
+    entries_ref,  # [B] i32 (SMEM): flat page row per request
+    offs_ref,  # [B] i32 (SMEM): token offset within the page
+    rows_ref,  # [B, D] VMEM: new combined (ckv | kpe) rows
+    cache_ref,  # ANY [R, ps, D] — aliased input
+    out_ref,  # ANY, aliased to cache_ref's buffer
+    buf,  # [2, G, ps, D] VMEM scratch
+    sem_in,  # DMA [2, G]
+    sem_out,  # DMA [2, G]
+    *,
+    page_size: int,
+    group: int,
+    batch: int,
+):
+    """Single-launch batched append into the combined MLA cache
+    [rows, page_size, D_ckv + D_kpe_pad]: read-modify-write G owning pages
+    per pipelined iteration (same slot-parity scheme as
+    pallas_decode._append_rows_kernel; a single token row cannot be
+    DMA-sliced because of sublane tiling, so the whole page is rewritten
+    with the row folded in via a masked select)."""
+    n_groups = (batch + group - 1) // group
+
+    def issue_in(i, slot):
+        for g in range(group):
+            idx = i * group + g
+            if idx >= batch:
+                break
+            pltpu.make_async_copy(
+                out_ref.at[entries_ref[idx]], buf.at[slot, g],
+                sem_in.at[slot, g],
+            ).start()
+
+    def wait_in(i, slot):
+        for g in range(group):
+            idx = i * group + g
+            if idx >= batch:
+                break
+            pltpu.make_async_copy(
+                out_ref.at[0], buf.at[slot, g], sem_in.at[slot, g]
+            ).wait()
+
+    def issue_out(i, slot):
+        for g in range(group):
+            idx = i * group + g
+            if idx >= batch:
+                break
+            pltpu.make_async_copy(
+                buf.at[slot, g], out_ref.at[entries_ref[idx]],
+                sem_out.at[slot, g],
+            ).start()
+
+    def wait_out(i, slot):
+        for g in range(group):
+            idx = i * group + g
+            if idx >= batch:
+                break
+            pltpu.make_async_copy(
+                buf.at[slot, g], out_ref.at[0], sem_out.at[slot, g]
+            ).wait()
+
+    issue_in(0, 0)
+    for i in range(n_groups):
+        slot = i % 2
+        if i + 1 < n_groups:
+            if i >= 1:
+                wait_out(i - 1, 1 - slot)
+            issue_in(i + 1, 1 - slot)
+        wait_in(i, slot)
+        for g in range(group):
+            idx = i * group + g
+            if idx >= batch:
+                break
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, (page_size, 1), 0)
+                == offs_ref[idx]
+            )
+            buf[slot, g] = jnp.where(
+                row, rows_ref[idx][None, :].astype(buf.dtype),
+                buf[slot, g])
+        issue_out(i, slot)
+    for i in range(max(n_groups - 2, 0), n_groups):
+        wait_out(i, i % 2)
+
+
+def mla_append_rows(
+    cache_flat: jax.Array,  # [rows, page_size, D] combined flat MLA cache
+    entries: jax.Array,  # [B] i32 flat page row of each request
+    offs: jax.Array,  # [B] i32 token offset within that page
+    rows_new: jax.Array,  # [B, D] combined (ckv | kpe-padded) rows
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Write one new token's combined (ckv | kpe) row per request into the
+    flat MLA cache IN PLACE (aliased Pallas read-modify-write; the MLA
+    analog of :func:`pallas_decode.paged_append_rows` — reference
+    AppendPagedKVMlaCache, page.cuh:441). Call it immediately before the
+    attention kernel that reads the cache so the alias chain
+    `cache -> append -> attention` stays a linear ownership chain and XLA
+    never copies the buffer. Requests must own distinct pages."""
+    batch = entries.shape[0]
+    page_size, d = cache_flat.shape[1], cache_flat.shape[2]
+    group = min(8, batch)
+    kernel = functools.partial(
+        _mla_append_rows_kernel, page_size=page_size, group=group,
+        batch=batch,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((batch, d), lambda i, *_: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, group, page_size, d), cache_flat.dtype),
+            pltpu.SemaphoreType.DMA((2, group)),
+            pltpu.SemaphoreType.DMA((2, group)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(cache_flat.shape, cache_flat.dtype),
+        input_output_aliases={3: 0},  # cache_flat (after 2 prefetch args)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=resolve_interpret(interpret),
+    )(entries, offs, rows_new.astype(cache_flat.dtype), cache_flat)
