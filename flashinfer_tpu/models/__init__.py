@@ -17,3 +17,5 @@ from .llama import (  # noqa: F401
 )
 from . import deepseek  # noqa: F401
 from .deepseek import DeepseekConfig  # noqa: F401
+from . import qwen_next  # noqa: F401
+from .qwen_next import QwenNextConfig  # noqa: F401
