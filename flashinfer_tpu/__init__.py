@@ -331,3 +331,10 @@ def _register_modules() -> None:
 
 
 _register_modules()
+
+# ---- speculative decoding (XQA spec-decode + chain sampling, e2e) ----
+from . import speculative  # noqa: E402,F401
+from .speculative import (  # noqa: E402,F401
+    speculative_decode_round,
+    verify_tokens,
+)
