@@ -64,7 +64,7 @@ def main() -> None:
     )
     from benchmarks.routines.moe import bench_fused_moe
     from benchmarks.routines.model import (
-        bench_model_decode, bench_model_ttft,
+        bench_model_decode, bench_model_mla_moe_decode, bench_model_ttft,
     )
 
     # chip-class probe FIRST: the axon pool's device_kind always reads
@@ -86,6 +86,7 @@ def main() -> None:
     _extra("moe_tflops", bench_fused_moe)
     _extra("model_decode_tokens_per_s", bench_model_decode)
     _extra("model_ttft_ms", bench_model_ttft)
+    _extra("mla_moe_model_tokens_per_s", bench_model_mla_moe_decode)
 
     # headline LAST: paged-decode attention bandwidth vs HBM roofline.
     # The chip warms up monotonically across measurements (measured

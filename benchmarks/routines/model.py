@@ -129,3 +129,75 @@ def bench_model_ttft(
                   f"{'-fp8' if fp8_weights else ''}",
         "metric": "p50_ttft_ms", "value": round(dt * 1e3, 1),
     }
+
+
+def bench_model_mla_moe_decode(
+    num_layers: int = 8, batch: int = 32, kv_len: int = 1024,
+    page_size: int = 32, num_heads: int = 32, num_experts: int = 64,
+    quantize_experts: bool = True, iters: int = 8,
+) -> dict:
+    """Tokens/sec/chip for a DeepSeek-proxy geometry: absorbed-MLA decode
+    over the combined compressed cache + DSv3-routed int8 experts (the
+    second model family, models/deepseek.py). Scaled to fit one chip's
+    HBM (full DSv3 is a multi-chip deployment)."""
+    from flashinfer_tpu.models import deepseek as ds
+
+    cfg = ds.DeepseekConfig(
+        vocab_size=32768, hidden_size=2048, num_layers=num_layers,
+        num_heads=num_heads, q_lora_rank=0, kv_lora_rank=512,
+        qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+        num_experts=num_experts, top_k=8,
+        n_group=8, topk_group=4, moe_intermediate_size=1024,
+        dense_intermediate_size=8192, first_k_dense=1)
+    params = ds.init_params(jax.random.PRNGKey(0), cfg)
+    if quantize_experts:
+        params = ds.quantize_expert_params(params, cfg)
+
+    pages_per = kv_len // page_size + 1
+    num_pages = batch * pages_per
+    caches = ds.init_kv_cache(cfg, num_pages, page_size)
+    page_table = jnp.asarray(
+        np.arange(num_pages, dtype=np.int32).reshape(batch, pages_per))
+    tokens = jnp.zeros((batch,), jnp.int32)
+    positions = jnp.full((batch,), kv_len, jnp.int32)
+    kv_lens = jnp.full((batch,), kv_len + 1, jnp.int32)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",),
+                       donate_argnums=(1,))
+    def run_n(tokens, kv, positions, kv_lens, params, page_table, n):
+        def body(_, carry):
+            tokens, kv = carry
+            logits, kv = ds.decode_step(
+                params, cfg, kv, tokens, positions, page_table, kv_lens)
+            return jnp.argmax(logits, -1).astype(jnp.int32), kv
+        out, kv = jax.lax.fori_loop(0, n, body, (tokens, kv))
+        return out, kv
+
+    def timed(n: int) -> float:
+        best = float("inf")
+        for _ in range(2):
+            kv_f = ds.init_kv_cache(cfg, num_pages, page_size)
+            out, kv_f = run_n(tokens, kv_f, positions, kv_lens, params,
+                              page_table, n)
+            _ = np.asarray(out[0])
+            del kv_f
+            kv_f = ds.init_kv_cache(cfg, num_pages, page_size)
+            t0 = time.perf_counter()
+            out, kv_f = run_n(tokens, kv_f, positions, kv_lens, params,
+                              page_table, n)
+            _ = np.asarray(out[0])
+            best = min(best, time.perf_counter() - t0)
+            del kv_f
+        return best
+
+    dt = max((timed(iters) - timed(1)) / (iters - 1), 1e-9)
+    return {
+        "routine": "model_mla_moe_decode",
+        "config": f"{num_layers}L h2048 H{num_heads} E{num_experts}"
+                  f"{'-int8e' if quantize_experts else ''} "
+                  f"b{batch} kv{kv_len}",
+        "ms_per_step": round(dt * 1e3, 3),
+        "metric": "tokens/s/chip", "value": round(batch / dt, 1),
+    }
