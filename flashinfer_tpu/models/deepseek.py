@@ -444,6 +444,7 @@ def prefill(
 
 def make_sharded_decode_fn(
     cfg: DeepseekConfig, mesh: Mesh, *, dp: str = "dp", tp: str = "tp",
+    moe_mode: str = "masked",  # "masked" | "ep"
     interpret: bool | None = None,
 ):
     """Jitted shard_map decode over (dp, tp).
@@ -452,12 +453,16 @@ def make_sharded_decode_fn(
     the compressed kv projection (wkv_a) and the cache are head-agnostic
     and REPLICATE over tp (each rank appends the identical row — MLA's
     KV memory is 1/tp of MHA). MoE experts shard over tp on the expert
-    axis (EP-style local compute with masked routing weights, combined by
-    the same psum as the attention output). Batch/pages shard over dp.
+    axis; ``moe_mode="masked"`` computes every token's local-expert share
+    on all ranks and psums, ``moe_mode="ep"`` shards tokens over tp and
+    runs the drop-free EP dispatch/combine all-to-all (parallel/ep.py,
+    reference moe_ep Split pipeline). Batch/pages shard over dp.
     """
     tp_size = mesh.shape[tp]
     if cfg.num_heads % tp_size or cfg.num_experts % tp_size:
         raise ValueError("heads and experts must divide tp size")
+    if moe_mode not in ("masked", "ep"):
+        raise ValueError(f"unknown moe_mode {moe_mode!r}")
     cfg_loc = replace(cfg, num_heads=cfg.num_heads // tp_size)
     e_loc = cfg.num_experts // tp_size
 
@@ -503,26 +508,43 @@ def make_sharded_decode_fn(
             h_in = x
             x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
             if l < cfg.first_k_dense:
-                y = _moe_mlp(cfg, lp, x, l)
+                y_full = jax.lax.psum(_moe_mlp(cfg, lp, x, l), tp)
             else:
                 logits = (x @ lp["router"]).astype(jnp.float32)
                 ids, wts = routing_deepseek_v3(
                     logits, lp["router_bias"], cfg.top_k, cfg.n_group,
                     cfg.topk_group, cfg.routed_scaling_factor)
-                # EP-local compute: keep only assignments routed to this
-                # rank's expert shard; ids are rebased, foreign ids hit
-                # expert 0 with zero weight
-                lo = my_rank * e_loc
-                mine = (ids >= lo) & (ids < lo + e_loc)
-                ids_loc = jnp.where(mine, ids - lo, 0)
-                wts_loc = jnp.where(mine, wts, 0.0)
-                y = fused_moe(x, lp["w13"], lp["w2"], ids_loc, wts_loc,
-                              out_dtype=x.dtype)
+                if moe_mode == "ep":
+                    # REAL EP: tokens shard over tp, drop-free HT
+                    # dispatch/combine (parallel/ep.py), results gathered
+                    # back to the tp-replicated activations
+                    from ..parallel.ep import moe_ep_forward
+
+                    bl = batch // tp_size
+                    start = my_rank * bl
+                    sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                        a, start, bl)
+                    y_r = moe_ep_forward(
+                        sl(x), sl(ids), sl(wts), lp["w13"], lp["w2"],
+                        tp, num_experts=cfg.num_experts, algo="ht")
+                    y_full = jax.lax.all_gather(
+                        y_r.astype(x.dtype), tp, axis=0, tiled=True)
+                else:
+                    # masked-TP: every rank sees all tokens, computes its
+                    # expert shard; foreign ids hit expert 0 with weight 0
+                    lo = my_rank * e_loc
+                    mine = (ids >= lo) & (ids < lo + e_loc)
+                    ids_loc = jnp.where(mine, ids - lo, 0)
+                    wts_loc = jnp.where(mine, wts, 0.0)
+                    y = fused_moe(x, lp["w13"], lp["w2"], ids_loc,
+                                  wts_loc, out_dtype=x.dtype)
+                    y_full = jax.lax.psum(y, tp)
                 if cfg.num_shared_experts:
                     g, u = x @ lp["s_gate"], x @ lp["s_up"]
-                    y = y + silu_and_mul(
+                    y_s = silu_and_mul(
                         jnp.concatenate([g, u], -1)) @ lp["s_w2"]
-            x = h_in + jax.lax.psum(y.astype(x.dtype), tp)
+                    y_full = y_full + jax.lax.psum(y_s, tp)
+            x = h_in + y_full.astype(x.dtype)
 
         x = rmsnorm(x, params["final_norm"], eps=cfg.rms_eps)
         logits_loc = (x @ params["lm_head"]).astype(jnp.float32)

@@ -140,11 +140,10 @@ def test_quantized_experts_route_through_gmm():
         rtol=0.1, atol=0.1)
 
 
-def test_sharded_decode_matches_single(tiny):
-    """dp x tp sharded decode equals the single-device step."""
-    import os
-
-    cfg0, _ = tiny
+@pytest.mark.parametrize("moe_mode", ["masked", "ep"])
+def test_sharded_decode_matches_single(tiny, moe_mode):
+    """dp x tp sharded decode (masked-TP and real-EP MoE dispatch) equals
+    the single-device step."""
     if jax.device_count() < 4:
         pytest.skip("needs 4 virtual devices")
     cfg = ds.DeepseekConfig.tiny(num_heads=16, dtype=jnp.float32)
@@ -164,7 +163,8 @@ def test_sharded_decode_matches_single(tiny):
     positions = np.full(batch, 2, np.int32)
     kv_lens = np.full(batch, 3, np.int32)
 
-    fn, in_specs, _ = ds.make_sharded_decode_fn(cfg, mesh)
+    fn, in_specs, _ = ds.make_sharded_decode_fn(cfg, mesh,
+                                                moe_mode=moe_mode)
     from jax.sharding import NamedSharding
 
     sparams = ds.shard_params(params, cfg, mesh, in_specs[0])
