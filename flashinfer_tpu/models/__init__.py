@@ -19,3 +19,5 @@ from . import deepseek  # noqa: F401
 from .deepseek import DeepseekConfig  # noqa: F401
 from . import qwen_next  # noqa: F401
 from .qwen_next import QwenNextConfig  # noqa: F401
+from . import hf  # noqa: F401
+from .hf import load_hf_llama  # noqa: F401
