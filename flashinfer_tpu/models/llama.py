@@ -463,6 +463,82 @@ def prefill(
     return rmsnorm(x, params["final_norm"], eps=cfg.rms_eps)
 
 
+def prefill_with_cache(
+    params: dict,
+    cfg: LlamaConfig,
+    kv_caches: jax.Array,  # [L, pages, 2, ps, Hkv*D] combined cache
+    token_ids: jax.Array,  # [total_q] ragged tokens
+    qo_indptr,  # host [B+1]
+    page_table: jax.Array,  # [B, P] pages owned by each request
+    *,
+    kv_scale: float = 1.0 / 32.0,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Ragged causal prefill that ALSO writes the prompt K/V into the
+    paged cache; returns (hidden [total_q, H], caches).
+
+    The serving admission path (reference BatchPrefillWithPagedKVCache +
+    append_paged_kv_cache): attention rides the flat-item prefill kernel,
+    and each layer's roped K/V rows scatter into the owning pages (a
+    one-time prefill cost, not the decode hot path).
+    """
+    import numpy as np
+
+    qo_indptr = np.asarray(qo_indptr, np.int64)
+    batch = len(qo_indptr) - 1
+    kv_lens = qo_indptr[1:] - qo_indptr[:-1]
+    plan = build_prefill_plan(
+        qo_indptr, kv_lens, cfg.num_qo_heads, cfg.num_kv_heads,
+        causal=True, kv_row_starts=qo_indptr[:-1].astype(np.int64),
+    )
+    total_q = token_ids.shape[0]
+    num_layers, num_pages = kv_caches.shape[0], kv_caches.shape[1]
+    page_size = kv_caches.shape[3]
+    d, hq, hkv = cfg.head_dim, cfg.num_qo_heads, cfg.num_kv_heads
+    pos = jnp.concatenate(
+        [jnp.arange(int(n)) for n in kv_lens]
+    ) if batch else jnp.arange(total_q)
+    b_of = np.repeat(np.arange(batch), kv_lens)
+    pt_np = np.asarray(page_table)
+    page_of = jnp.asarray(
+        pt_np[b_of, np.asarray(pos) // page_size], jnp.int32)
+    slot_of = pos % page_size
+
+    quant = kv_caches.dtype in (jnp.int8, jnp.float8_e4m3fn,
+                                jnp.float8_e5m2)
+
+    def to_cache(a):
+        if not quant:
+            return a.astype(kv_caches.dtype)
+        s = a.astype(jnp.float32) / float(kv_scale)
+        if kv_caches.dtype == jnp.int8:
+            return jnp.clip(jnp.round(s), -127, 127).astype(jnp.int8)
+        return s.astype(kv_caches.dtype)
+
+    x = params["embed"][token_ids].astype(cfg.dtype)
+    caches = kv_caches
+    for l in range(cfg.num_layers):
+        lp = {k: _index_layer(params[k], l) for k in _layer_keys(cfg)}
+        h_in = x
+        x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
+        q = _rope(_mm(x, lp["wq"]).reshape(total_q, hq, d), pos,
+                  cfg.rope_theta)
+        k = _rope(_mm(x, lp["wk"]).reshape(total_q, hkv, d), pos,
+                  cfg.rope_theta)
+        v = _mm(x, lp["wv"]).reshape(total_q, hkv, d)
+        rows2 = jnp.stack(
+            [to_cache(k.reshape(total_q, hkv * d)),
+             to_cache(v.reshape(total_q, hkv * d))], axis=1)
+        caches = caches.at[l, page_of, :, slot_of, :].set(rows2)
+        attn, _ = run_prefill(q, k, v, plan, causal=True,
+                              interpret=interpret)
+        x = h_in + _mm(attn.reshape(total_q, hq * d), lp["wo"])
+        h_in = x
+        x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
+        x = h_in + _mlp(cfg, lp, x).astype(x.dtype)
+    return rmsnorm(x, params["final_norm"], eps=cfg.rms_eps), caches
+
+
 # ---------------------------------------------------------------------------
 # Sharded decode: shard_map over (dp, tp) — megatron TP + data parallel
 # ---------------------------------------------------------------------------

@@ -15,7 +15,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.llama import LlamaConfig, decode_step, init_kv_cache, prefill
+from .models.llama import (
+    LlamaConfig, decode_step, init_kv_cache, prefill_with_cache,
+)
 from .ops.sampling import sampling_from_logits
 
 
@@ -71,15 +73,28 @@ class Engine:
         self.key = jax.random.key(seed)
 
     # -- admission (prefill) -------------------------------------------------
-    def add_request(self, rid: int, prompt: list) -> None:
+    def add_request(self, rid: int, prompt: list) -> int:
         req = Request(rid, list(prompt))
         n_pages = -(-len(prompt) // self.page_size) or 1
-        req.pages = self.alloc.alloc(n_pages)
-        # prefill activations → last-token logits seed the first decode; the
-        # prompt K/V are written by replaying tokens through decode steps
-        # (v1 simplicity: prefill-with-cache-writeback lands with the
-        # fused rope+append path)
+        req.pages = self.alloc.alloc(n_pages + 1)  # +1: first decode slot
+        # real admission: one ragged prefill writes the prompt K/V into
+        # the owned pages and the last-position logits seed generation
+        table = np.zeros((1, self.max_pages), np.int32)
+        table[0, :len(req.pages)] = req.pages
+        hidden, self.caches = prefill_with_cache(
+            self.params, self.cfg, self.caches,
+            jnp.asarray(prompt, jnp.int32),
+            np.asarray([0, len(prompt)], np.int64), jnp.asarray(table))
+        from .models.llama import _mm
+
+        logits = _mm(hidden[-1:], self.params["lm_head"]).astype(
+            jnp.float32)
+        self.key, sub = jax.random.split(self.key)
+        first = int(sampling_from_logits(logits, key=sub)[0])
+        req.generated.append(first)
+        req.pos = len(prompt)
         self.active[rid] = req
+        return first
 
     def _pad_batch(self):
         reqs = list(self.active.values())[: self.max_batch]

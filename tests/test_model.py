@@ -305,3 +305,48 @@ def test_inject_append_mode_matches_per_layer(tiny_model):
     # bf16 ulps and compound across layers/steps
     np.testing.assert_allclose(np.asarray(c_a), np.asarray(c_b),
                                rtol=0.06, atol=0.06)
+
+
+def test_prefill_with_cache_matches_decode_replay(tiny_model):
+    """Admission prefill (prefill_with_cache) must leave the cache in the
+    same state as replaying the prompt through decode steps: the next
+    decode's logits agree."""
+    from flashinfer_tpu.models.llama import (
+        decode_step, init_kv_cache, prefill_with_cache,
+    )
+
+    cfg, params = tiny_model
+    batch, page_size, pages_per_req = 2, 8, 2
+    num_pages = batch * pages_per_req
+    rng = np.random.default_rng(3)
+    lens = [5, 7]
+    seqs = [rng.integers(0, cfg.vocab_size, n + 1) for n in lens]
+    table = jnp.asarray(
+        np.arange(num_pages, dtype=np.int32).reshape(batch, pages_per_req))
+
+    # path A: ragged prefill with cache write-back, then one decode
+    caches_a = init_kv_cache(cfg, num_pages, page_size)
+    tokens = jnp.asarray(np.concatenate([s[:-1] for s in seqs]), jnp.int32)
+    qo = np.concatenate([[0], np.cumsum(lens)])
+    hidden, caches_a = prefill_with_cache(
+        params, cfg, caches_a, tokens, qo, table)
+    assert hidden.shape == (sum(lens), cfg.hidden_size)
+    positions = jnp.asarray(lens, jnp.int32)
+    nxt = jnp.asarray([s[-1] for s in seqs], jnp.int32)
+    logits_a, _ = decode_step(
+        params, cfg, caches_a, nxt, positions, table, positions + 1)
+
+    # path B: replay every prompt token through decode steps
+    caches_b = init_kv_cache(cfg, num_pages, page_size)
+    maxlen = max(lens)
+    for i in range(maxlen):
+        toks_i = jnp.asarray(
+            [s[min(i, n - 1)] for s, n in zip(seqs, lens)], jnp.int32)
+        pos_i = jnp.asarray([min(i, n - 1) for n in lens], jnp.int32)
+        logits_b, caches_b = decode_step(
+            params, cfg, caches_b, toks_i, pos_i, table, pos_i + 1)
+    logits_b, _ = decode_step(
+        params, cfg, caches_b, nxt, positions, table, positions + 1)
+
+    np.testing.assert_allclose(
+        np.asarray(logits_a), np.asarray(logits_b), rtol=2e-2, atol=2e-2)

@@ -35,16 +35,16 @@ def test_engine_generates_and_recycles_pages():
     params = init_params(jax.random.key(0), cfg)
     eng = Engine(cfg, params, max_batch=4, num_pages=32, page_size=16,
                  max_pages_per_req=4)
-    eng.add_request(0, [1, 2, 3])
-    eng.add_request(1, [4, 5])
+    t0 = eng.add_request(0, [1, 2, 3])  # admission prefills + samples
+    t1 = eng.add_request(1, [4, 5])
     free_before = len(eng.alloc.free)
 
-    outputs = {0: [], 1: []}
+    outputs = {0: [t0], 1: [t1]}
     for _ in range(8):
         for rid, tok in eng.step().items():
             outputs[rid].append(tok)
             assert 0 <= tok < cfg.vocab_size
-    assert len(outputs[0]) >= 4 and len(outputs[1]) >= 5
+    assert len(outputs[0]) >= 5 and len(outputs[1]) >= 6
 
     g0 = eng.finish(0)
     g1 = eng.finish(1)
