@@ -21,10 +21,34 @@ import numpy as np
 from .env import env
 
 
+def _host_fingerprint() -> str:
+    """Identity of the host CPU's ISA extensions. XLA:CPU persists
+    AOT-compiled executables specialized to the build host's features and
+    SEGFAULTS loading them on a host without those features (observed:
+    avx512-built cache entries on a pool machine without avx512) — scope
+    the cache directory by this fingerprint so a cache is only ever read
+    on a compatible host."""
+    import hashlib
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        import platform
+
+        flags = platform.machine() + platform.processor()
+    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
     """Point XLA's persistent compilation cache at the flashinfer-tpu
     cache dir (reference: jit-cache wheel, flashinfer-jit-cache/)."""
-    path = str(cache_dir or (env.cache_dir / "xla_cache"))
+    path = str(cache_dir
+               or (env.cache_dir / f"xla_cache-{_host_fingerprint()}"))
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return path
@@ -122,6 +146,7 @@ def _cache_manifest() -> dict:
         "jaxlib": _ver("jaxlib"),
         "libtpu": _ver("libtpu"),
         "device_kinds": kinds,
+        "host_fingerprint": _host_fingerprint(),
     }
 
 

@@ -83,8 +83,11 @@ def _mla_stream_kernel(
     ckv_scale: float,
     kpe_scale: float,
     combined: bool,
+    use_exp2: bool = True,  # log2-domain softmax (see pallas_prefill)
 ):
     w = pl.program_id(0)
+    log2e = float(np.log2(np.e)) if use_exp2 else 1.0
+    fexp = jnp.exp2 if use_exp2 else jnp.exp
     num_w = pl.num_programs(0)
     rows = tq * num_heads
     ct = chunk_pages * page_size
@@ -156,7 +159,7 @@ def _mla_stream_kernel(
     # per-component dequant scales fold into the q pre-scale (ckv on the
     # nope dims, kpe on the pe dims); the V-side ckv_scale applies once at
     # the epilogue
-    qf = q_ref[0].astype(jnp.float32) * sm_scale
+    qf = q_ref[0].astype(jnp.float32) * (sm_scale * log2e)
     qn = (qf[:, :dc] * ckv_scale).astype(compute_dtype)
     qp = (qf[:, dc:] * kpe_scale).astype(compute_dtype)
 
@@ -216,8 +219,8 @@ def _mla_stream_kernel(
                 mask = jnp.logical_and(mask, kv_pos <= rows_tok + diag)
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # masked cols underflow to exactly 0
+        alpha = fexp(m_prev - m_new)
+        p = fexp(s - m_new)  # masked cols underflow to exactly 0
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + pv(p, slot)
         return m_new, l_new, acc_new
@@ -268,7 +271,10 @@ def _mla_stream_kernel(
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o = acc * (ckv_scale if ckv_scale != 1.0 else 1.0) / l_safe
     o_ref[0] = jnp.where(row_valid, o, 0.0).astype(o_ref.dtype)
-    lse = m + jnp.log(l_safe)
+    if use_exp2:
+        lse = (m + jnp.log2(l_safe)) * float(np.log(2.0))
+    else:
+        lse = m + jnp.log(l_safe)
     lse = jnp.where(jnp.logical_and(row_valid, l > 0.0), lse, -jnp.inf)
     lse_ref[0] = jnp.broadcast_to(lse, (rows, 8)).astype(lse_ref.dtype)
 
@@ -277,7 +283,7 @@ def _mla_stream_kernel(
     jax.jit,
     static_argnames=(
         "num_heads", "tq", "head_dim_ckv", "sm_scale", "causal",
-        "ckv_scale", "kpe_scale", "interpret",
+        "ckv_scale", "kpe_scale", "use_exp2", "chunk_tokens", "interpret",
     ),
 )
 def mla_stream(
@@ -297,6 +303,8 @@ def mla_stream(
     causal: bool,
     ckv_scale: float = 1.0,
     kpe_scale: float = 1.0,
+    use_exp2: bool = True,
+    chunk_tokens: int = 1024,  # KV tokens per DMA chunk (autotunable)
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Run the streaming MLA kernel; returns (o [B, qmax*H, D_ckv],
@@ -323,7 +331,7 @@ def mla_stream(
         d_total = dc + dp
     rows = tq * num_heads
     num_works = w_req.shape[0]
-    chunk_pages = max(1, min(1024 // page_size, 16))
+    chunk_pages = max(1, min(chunk_tokens // page_size, 32))
     max_pages = page_table.shape[1]
     pad_pages = (-max_pages) % chunk_pages
     if pad_pages:
@@ -337,7 +345,7 @@ def mla_stream(
         head_dim_kpe=dp, page_size=page_size, chunk_pages=chunk_pages,
         sm_scale=float(sm_scale), causal=bool(causal),
         ckv_scale=float(ckv_scale), kpe_scale=float(kpe_scale),
-        combined=combined,
+        combined=combined, use_exp2=bool(use_exp2),
     )
     if combined:
         kpe_cache = jnp.zeros((1, 8, 128), ckv_cache.dtype)  # dummy

@@ -244,7 +244,10 @@ def build_prefill_plan(
         for b in range(batch):
             qo_len_b = int(qo_indptr[b + 1] - qo_indptr[b])
             kv_len_b = int(kv_lens[b])
-            al_b = cdiv(max(kv_len_b, 1), 8) * 8
+            # 128-row alignment: request starts must be lane-tile aligned
+            # for the transposed-K pool (lane-dim DMA slices); also
+            # satisfies the 8-row sublane alignment of the V pool
+            al_b = cdiv(max(kv_len_b, 1), 128) * 128
             if qo_len_b > 0:
                 wkr_d8.extend(
                     [al_cursor // 8] * cdiv(qo_len_b, tq_tokens)
@@ -1094,6 +1097,15 @@ def _prefill_kernel_hm(
     rope_theta: float = 0.0,  # > 0: rotate K chunks on the fly
     rope_scale: float = 1.0,
     emit_events: bool = False,  # pltpu.trace_value tags (profiler.py)
+    use_exp2: bool = True,  # log2-domain softmax (exp2 saves the VPU's
+    # internal x*log2e multiply per score element; LOG2E folds into the q
+    # prescale / alibi slope / soft cap, LN2 unfolds in the lse epilogue)
+    debug_skip: str | None = None,  # perf attribution probe: "softmax"
+    # (p = s, no max/exp/sum), "pv" (skip the PV matmul), "qk" (reuse a
+    # constant s) — WRONG results, bench-only
+    kt_layout: bool = False,  # K pool is [H, D, R] (pre-transposed): QK
+    # becomes the NN-form q[rb,d] @ kT[d,kb] — the NT form costs an MXU
+    # operand transpose per chunk, measured 2.1x whole-kernel time
 ):
     """Streaming prefill v2 (TPU production path).
 
@@ -1119,8 +1131,18 @@ def _prefill_kernel_hm(
     num_h = pl.num_programs(0)
     num_w = pl.num_programs(1)
     rb, kb = row_block, kv_block
-    d = q_ref.shape[2]
+    d = q_ref.shape[-1]
     tq_tokens = rb // group
+
+    # hooks that read raw logits require the natural-log domain
+    if variant is not None and (
+        variant.logits_transform is not None
+        or variant.update_m_d is not None
+        or not variant.use_softmax
+    ):
+        use_exp2 = False
+    log2e = float(np.log2(np.e)) if use_exp2 else 1.0
+    fexp = jnp.exp2 if use_exp2 else jnp.exp
 
     def n_chunks_of(wi):
         # every work processes >= 1 chunk (decode-kernel convention: keeps
@@ -1151,17 +1173,33 @@ def _prefill_kernel_hm(
     def issue(wi, chunk, slot, hh=None):
         hh = h if hh is None else hh
         row0 = work_kv_row0_d8_ref[wi] * 8 + chunk * kb
-        pltpu.make_async_copy(
-            k_hm_ref.at[hh, pl.ds(row0, kb)], k_buf.at[slot], sem.at[slot, 0]
-        ).start()
+        if kt_layout:  # K rows live in the lane dim (128-aligned starts)
+            # (d8 // 16) * 128 == d8 * 8 here, but lets Mosaic PROVE the
+            # lane offset is a multiple of the 128-lane tile
+            row0_l = (work_kv_row0_d8_ref[wi] // 16) * 128 + chunk * kb
+            pltpu.make_async_copy(
+                k_hm_ref.at[hh, :, pl.ds(row0_l, kb)], k_buf.at[slot],
+                sem.at[slot, 0],
+            ).start()
+        else:
+            pltpu.make_async_copy(
+                k_hm_ref.at[hh, pl.ds(row0, kb)], k_buf.at[slot],
+                sem.at[slot, 0],
+            ).start()
         pltpu.make_async_copy(
             v_hm_ref.at[hh, pl.ds(row0, kb)], v_buf.at[slot], sem.at[slot, 1]
         ).start()
 
     def wait(slot):
-        pltpu.make_async_copy(
-            k_hm_ref.at[0, pl.ds(0, kb)], k_buf.at[slot], sem.at[slot, 0]
-        ).wait()
+        if kt_layout:
+            pltpu.make_async_copy(
+                k_hm_ref.at[0, :, pl.ds(0, kb)], k_buf.at[slot],
+                sem.at[slot, 0],
+            ).wait()
+        else:
+            pltpu.make_async_copy(
+                k_hm_ref.at[0, pl.ds(0, kb)], k_buf.at[slot], sem.at[slot, 0]
+            ).wait()
         pltpu.make_async_copy(
             v_hm_ref.at[0, pl.ds(0, kb)], v_buf.at[slot], sem.at[slot, 1]
         ).wait()
@@ -1202,13 +1240,17 @@ def _prefill_kernel_hm(
             chunk_start=chunk * kb,
         )
 
-    q_raw = q_ref[0].astype(jnp.float32)
+    # q block is [1, RB, D] (packed layout) or [TQ, 1, G, D] (natural
+    # token-major layout — no XLA transpose pass); rows flatten identically
+    # to (token, group)-major order either way
+    q_raw = q_ref[...].reshape(rb, d).astype(jnp.float32)
     if variant is not None and variant.query_transform is not None:
         # replaces the default sm_scale pre-scale (DefaultAttention
         # semantics); the fp8-KV dequant fold stays internal
-        q_raw = variant.query_transform(q_raw, make_info(0)) * k_scale
+        q_raw = variant.query_transform(q_raw, make_info(0)) * (
+            k_scale * log2e)
     else:
-        q_raw = q_raw * (sm_scale * k_scale)
+        q_raw = q_raw * (sm_scale * k_scale * log2e)
     q = q_raw.astype(compute_dtype)  # [RB, D]
 
     # clean prefix: chunks needing NO masking for any row of this tile.
@@ -1236,6 +1278,20 @@ def _prefill_kernel_hm(
 
     def qk(slot, chunk=None):
         k = k_buf[slot]
+        if debug_skip == "qk":  # keep the DMA read, skip the matmul
+            return jnp.broadcast_to(
+                jnp.transpose(k[:1, :].astype(jnp.float32))
+                if kt_layout else
+                jnp.transpose(k[:, :1].astype(jnp.float32)), (rb, kb))
+        if kt_layout:
+            # NN form: q [rb, d] @ kT [d, kb] — no MXU operand transpose
+            kt = k
+            if kt.dtype != compute_dtype:
+                kt = kt.astype(compute_dtype)
+            return jax.lax.dot_general(
+                q, kt, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [RB, KB]
         if rope_theta > 0.0:
             from .pallas_decode import _rope_rows_merged
 
@@ -1270,14 +1326,23 @@ def _prefill_kernel_hm(
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (rb, kb), 1)
 
     def update(s, chunk, m_prev, l_prev, acc, slot, *, masked):
+        if debug_skip == "softmax":
+            return m_prev, l_prev, acc + pv(s * 0.001, slot)
+        if debug_skip == "pv":
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = fexp(m_prev - m_new)
+            p = fexp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            return m_new, l_new, acc * alpha + p[:, :d]
         if masked:
             kv_pos = chunk * kb + cols_i
             if use_alibi:
-                slope = aux_ref[0, :, 1:2]
+                slope = aux_ref[0, :, 1:2] * log2e
                 s = s + slope * (kv_pos - (rows_tok + diag)).astype(
                     jnp.float32)
             if logits_soft_cap > 0.0:
-                s = logits_soft_cap * jnp.tanh(s / logits_soft_cap)
+                cap = logits_soft_cap * log2e
+                s = cap * jnp.tanh(s / cap)
             mask = jnp.logical_and(kv_pos < kv_len, rows_tok < qo_len)
             if causal:
                 mask = jnp.logical_and(mask, kv_pos <= rows_tok + diag)
@@ -1303,10 +1368,10 @@ def _prefill_kernel_hm(
             acc_new = acc * jnp.exp(m_prev - m_new) + pv(p, slot)
             return m_new, l_new, acc_new
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
+        alpha = fexp(m_prev - m_new)
         # masked scores sit at DEFAULT_MASK_VALUE: exp underflows to 0.0
         # for any row with a valid column — no masked-p pass needed
-        p = jnp.exp(s - m_new)
+        p = fexp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + pv(p, slot)
         return m_new, l_new, acc_new
@@ -1360,9 +1425,9 @@ def _prefill_kernel_hm(
         s_last, n_chunks - 1, m, l, acc, slot_of(n_chunks - 1), masked=True)
 
     if use_sinks:
-        sink = aux_ref[0, :, 0:1]
+        sink = aux_ref[0, :, 0:1] * log2e  # sinks live in logit space
         m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
-        l = l + jnp.exp(sink - m_safe)
+        l = l + fexp(sink - m_safe)
     # rows with no valid column carry garbage through the underflow trick
     # (p == 1 everywhere): zero them here to keep v1 semantics
     row_valid = jnp.logical_and(rows_tok[:, :1] < qo_len, kv_len > 0)
@@ -1375,11 +1440,16 @@ def _prefill_kernel_hm(
         o = acc * o_scale / l_safe
     if variant is not None and variant.output_transform is not None:
         o = variant.output_transform(o, make_info(0))
-    o_ref[0] = jnp.where(row_valid, o, 0.0).astype(o_ref.dtype)
-    lse = m + jnp.log(l_safe)
+    o_ref[...] = jnp.where(row_valid, o, 0.0).astype(o_ref.dtype).reshape(
+        o_ref.shape)
+    if use_exp2:
+        # lse contract stays natural-log: ln(sum exp(s)) = ln2*(m+log2 l)
+        lse = (m + jnp.log2(l_safe)) * float(np.log(2.0))
+    else:
+        lse = m + jnp.log(l_safe)
     lse = jnp.where(jnp.logical_and(row_valid, l > 0.0), lse, -jnp.inf)
     lse_ref[...] = jnp.broadcast_to(lse, (rb, 8)).reshape(
-        1, rb, 8).astype(lse_ref.dtype)
+        lse_ref.shape).astype(lse_ref.dtype)
 
 
 
@@ -1406,19 +1476,36 @@ def prefill_packed_hm(
     variant=None,
     rope_theta: float = 0.0,
     rope_scale: float = 1.0,
+    use_exp2: bool = True,
+    debug_skip: str | None = None,
+    kt_layout: bool = False,  # k_hm is the [H, D, R] transposed pool
 ) -> tuple[jax.Array, jax.Array]:
     """Prefill v2: per-head grid, software-pipelined chunk loop, KV
-    streamed from the 8-aligned head-major pool."""
-    num_kv_heads, tqg, head_dim = q_packed.shape
+    streamed from the 8-aligned head-major pool.
+
+    ``q_packed`` is either the packed [H_kv, Tq_pad*G, D] layout or the
+    NATURAL token-major [Tq_pad, H_kv, G, D] layout (a zero-copy reshape
+    of the caller's [Tq_pad, H_q, D] — saves the full-array XLA transpose
+    on both q and out)."""
+    natural = q_packed.ndim == 4
+    if natural:
+        tq_pad, num_kv_heads, g4, head_dim = q_packed.shape
+        tqg = tq_pad * g4
+    else:
+        num_kv_heads, tqg, head_dim = q_packed.shape
     (work_q_blk, work_kv_row0_d8, work_kv_len, work_qo_len, work_q_pos) = (
         plan_arrays
     )
     num_works = work_q_blk.shape[0]
     rb, kb = row_block, kv_block
+    tq_tokens = rb // group
     interp = resolve_interpret(interpret)
 
     def q_map(h, w, wqb, wkr, wkl, wql, wqp):
         return (h, wqb[w], 0)
+
+    def q_map4(h, w, wqb, wkr, wkl, wql, wqp):
+        return (wqb[w], h, 0, 0)
 
     def aux_map(h, w, *refs):
         return (h, 0, 0)
@@ -1433,6 +1520,8 @@ def prefill_packed_hm(
         variant=variant,
         rope_theta=float(rope_theta), rope_scale=float(rope_scale),
         emit_events=env.kernel_events and not interp,
+        use_exp2=bool(use_exp2), debug_skip=debug_skip,
+        kt_layout=bool(kt_layout),
     )
     # sinks/alibi unused: shrink the per-step aux transfer to one tile
     # (a full [rb, 128] f32 block per grid step is ~67 MB of dead DMA
@@ -1440,23 +1529,33 @@ def prefill_packed_hm(
     aux_rows = rb if (use_sinks or use_alibi) else 8
     if aux_packed.shape[1] != aux_rows:
         aux_packed = aux_packed[:, :aux_rows]
+    if natural:
+        q_spec = pl.BlockSpec((tq_tokens, 1, group, head_dim), q_map4)
+        o_spec = pl.BlockSpec((tq_tokens, 1, group, head_dim), q_map4)
+        lse_spec = pl.BlockSpec((tq_tokens, 1, group, 8), q_map4)
+        lse_shape = (tq_pad, num_kv_heads, group, 8)
+    else:
+        q_spec = pl.BlockSpec((1, rb, head_dim), q_map)
+        o_spec = pl.BlockSpec((1, rb, head_dim), q_map)
+        lse_spec = pl.BlockSpec((1, rb, 8), q_map)
+        lse_shape = (num_kv_heads, tqg, 8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(num_kv_heads, num_works),
         in_specs=[
-            pl.BlockSpec((1, rb, head_dim), q_map),
+            q_spec,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, aux_rows, 128), aux_map),
         ],
         out_specs=[
-            pl.BlockSpec((1, rb, head_dim), q_map),
-            pl.BlockSpec(
-                (1, rb, 8), lambda h, w, wqb, *r: (h, wqb[w], 0)
-            ),
+            o_spec,
+            lse_spec,
         ],
         scratch_shapes=[
-            pltpu.VMEM((6, kb, head_dim), k_hm.dtype),
+            pltpu.VMEM(
+                (6, head_dim, kb) if kt_layout else (6, kb, head_dim),
+                k_hm.dtype),
             pltpu.VMEM((6, kb, head_dim), v_hm.dtype),
             pltpu.SemaphoreType.DMA((6, 2)),
         ],
@@ -1466,7 +1565,7 @@ def prefill_packed_hm(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(q_packed.shape, q_packed.dtype),
-            jax.ShapeDtypeStruct((num_kv_heads, tqg, 8), jnp.float32),
+            jax.ShapeDtypeStruct(lse_shape, jnp.float32),
         ],
         # the pipelined s-carry + 6 KV slots overflow the default 16 MB
         # scoped-vmem stack; v5e has 128 MB of VMEM
@@ -1499,6 +1598,7 @@ def run_prefill(
     variant=None,  # AttentionVariant hook points (variants.py)
     rope_theta: float = 0.0,  # > 0: kernel rotates K on the fly (q is
     rope_scale: float = 1.0,  # expected pre-roped by the caller)
+    use_exp2: bool = True,  # log2-domain softmax in the v2 kernel
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Pack layouts, run the kernel, unpack back to ragged.
@@ -1531,14 +1631,17 @@ def run_prefill(
              or not resolve_interpret(interpret))
     )
 
-    # pack q: [Tq_pad, H_q, D] -> [H_kv, Tq_pad*G, D] (pad instead of
-    # gather when the src map is the identity — the common aligned case)
+    # pad/gather q to [Tq_pad, H_q, D] (pad instead of gather when the src
+    # map is the identity — the common aligned case)
     if plan.q_contig:
-        qp = jnp.pad(q, ((0, plan.tq_pad - total_q), (0, 0), (0, 0)))
+        qnat = jnp.pad(q, ((0, plan.tq_pad - total_q), (0, 0), (0, 0)))
     else:
-        qp = q[q_src] * q_valid[:, None, None].astype(q.dtype)
-    qp = qp.reshape(plan.tq_pad, h_kv, g, head_dim)
-    qp = jnp.transpose(qp, (1, 0, 2, 3)).reshape(h_kv, plan.tq_pad * g, head_dim)
+        qnat = q[q_src] * q_valid[:, None, None].astype(q.dtype)
+    if not use_hm:
+        # v1 kernels take the packed [H_kv, Tq_pad*G, D] layout
+        qp = qnat.reshape(plan.tq_pad, h_kv, g, head_dim)
+        qp = jnp.transpose(qp, (1, 0, 2, 3)).reshape(
+            h_kv, plan.tq_pad * g, head_dim)
 
     if not use_hm:
         # pack kv: [Tkv_pad, H_kv, D] -> [H_kv, Tkv_pad, D]
@@ -1599,8 +1702,16 @@ def run_prefill(
             v_al = kv_rows_v[kv8_src] * kv8_valid[:, None, None].astype(
                 kv_rows_v.dtype)
             row_pad = KV_BLOCK
-        k_hm = jnp.pad(jnp.transpose(k_al, (1, 0, 2)),
-                       ((0, 0), (0, row_pad), (0, 0)))
+        # transposed-K pool (NN-form QK) whenever no in-kernel K rewrite
+        # needs the natural row-major chunk layout
+        kt = rope_theta == 0.0 and (
+            variant is None or variant.key_transform is None)
+        if kt:
+            k_hm = jnp.pad(jnp.transpose(k_al, (1, 2, 0)),
+                           ((0, 0), (0, 0), (0, row_pad)))
+        else:
+            k_hm = jnp.pad(jnp.transpose(k_al, (1, 0, 2)),
+                           ((0, 0), (0, row_pad), (0, 0)))
         v_hm = jnp.pad(jnp.transpose(v_al, (1, 0, 2)),
                        ((0, 0), (0, row_pad), (0, 0)))
         work_arrays = (
@@ -1610,11 +1721,16 @@ def run_prefill(
         common_hm = {
             k: v for k, v in common.items() if k != "use_custom_mask"
         }
-        out_p, lse_hm = prefill_packed_hm(
-            qp, k_hm, v_hm, aux, work_arrays, variant=variant,
-            rope_theta=rope_theta, rope_scale=rope_scale, **common_hm
+        # natural token-major layout: zero-copy reshape in, zero-copy
+        # reshape out (no [Tq*G, D] transpose passes around the kernel)
+        qp4 = qnat.reshape(plan.tq_pad, h_kv, g, head_dim)
+        out_p4, lse4 = prefill_packed_hm(
+            qp4, k_hm, v_hm, aux, work_arrays, variant=variant,
+            rope_theta=rope_theta, rope_scale=rope_scale,
+            use_exp2=use_exp2, kt_layout=kt, **common_hm
         )
-        lse2d = lse_hm[:, :, 0]
+        out = out_p4.reshape(plan.tq_pad, num_q_heads, head_dim)
+        lse = lse4[:, :, :, 0].reshape(plan.tq_pad, num_q_heads)
     elif not resolve_interpret(interpret):
         # v1 streaming kernel (packed KV, per-head grid) — custom-mask path
         work_arrays = (
@@ -1636,11 +1752,13 @@ def run_prefill(
         )
         lse2d = lse_p[:, :, 0]
 
-    # unpack: [H_kv, Tq_pad*G, D] -> ragged [total_q, H_q, D]
-    out = out_p.reshape(h_kv, plan.tq_pad, g, head_dim)
-    out = jnp.transpose(out, (1, 0, 2, 3)).reshape(plan.tq_pad, num_q_heads, head_dim)
-    lse = lse2d.reshape(h_kv, plan.tq_pad, g)
-    lse = jnp.transpose(lse, (1, 0, 2)).reshape(plan.tq_pad, num_q_heads)
+    if not use_hm:
+        # unpack: [H_kv, Tq_pad*G, D] -> ragged [total_q, H_q, D]
+        out = out_p.reshape(h_kv, plan.tq_pad, g, head_dim)
+        out = jnp.transpose(out, (1, 0, 2, 3)).reshape(
+            plan.tq_pad, num_q_heads, head_dim)
+        lse = lse2d.reshape(h_kv, plan.tq_pad, g)
+        lse = jnp.transpose(lse, (1, 0, 2)).reshape(plan.tq_pad, num_q_heads)
     if plan.out_contig:
         out = out[:total_q]
         lse = lse[:total_q]
