@@ -142,9 +142,17 @@ def bench_mla_decode(
     kv_bytes = (batch * kv_len * (d_ckv + dpp)
                 * jnp.dtype(cache_dt).itemsize)
     gbs = kv_bytes / dt / 1e9
+    # MLA decode at h=128 is closer to MXU-bound than HBM-bound (QK is
+    # dc+dpp deep, PV chunk-deep; M is pinned at the 128 q heads of one
+    # token — docs/design.md round-2.5): report the achieved matmul
+    # throughput alongside the bandwidth fraction.
+    flops = 2 * batch * num_heads * kv_len * (2 * d_ckv + dpp)
+    tf = flops / dt / 1e12
     return {
         "routine": "mla_decode", "ms": round(dt * 1e3, 3),
         "config": f"b{batch} kv{kv_len} h{num_heads} {dtype}",
         "metric": "GB/s", "value": round(gbs, 1),
         "vs_roofline": round(gbs / V5E_HBM_GBS, 4),
+        "tf_equiv": round(tf, 1),
+        "mxu_frac": round(tf / 197.0, 4),
     }

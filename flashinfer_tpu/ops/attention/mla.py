@@ -249,7 +249,13 @@ class BatchMLAPagedAttentionWrapper:
         )
         self._page_table = jnp.asarray(table)
         self._kv_lens = jnp.asarray(np.asarray(kv_len_arr, np.int32))
+        # DMA chunk: 2048-token chunks measure ~2% over 1024 at long kv
+        # (553 vs 542 GB/s, b64 kv2k v5e) but over-read short requests —
+        # pick by the planned batch's median kv length
+        kvl = np.asarray(kv_len_arr, np.int64)
+        chunk_tokens = 2048 if (len(kvl) and np.median(kvl) >= 2048) else 1024
         self._plan = dict(
+            chunk_tokens=int(max(chunk_tokens, page_size)),
             num_heads=num_heads, head_dim_ckv=head_dim_ckv,
             head_dim_kpe=head_dim_kpe, page_size=page_size,
             causal=bool(causal), sm_scale=float(sm_scale),
@@ -313,6 +319,7 @@ class BatchMLAPagedAttentionWrapper:
             sm_scale=p["sm_scale"], causal=p["causal"],
             ckv_scale=float(ckv_scale or 1.0),
             kpe_scale=float(kpe_scale or 1.0),
+            chunk_tokens=p.get("chunk_tokens", 1024),
             interpret=interpret,
         )
         o = o.reshape(batch * qmax_pad, h, d_ckv)[p["inv"]]
