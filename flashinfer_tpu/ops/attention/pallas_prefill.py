@@ -1106,6 +1106,7 @@ def _prefill_kernel_hm(
     kt_layout: bool = False,  # K pool is [H, D, R] (pre-transposed): QK
     # becomes the NN-form q[rb,d] @ kT[d,kb] — the NT form costs an MXU
     # operand transpose per chunk, measured 2.1x whole-kernel time
+    pv_split: int = 1,  # >1: interleave exp/PV halves (hide exp VPU time)
 ):
     """Streaming prefill v2 (TPU production path).
 
@@ -1311,8 +1312,9 @@ def _prefill_kernel_hm(
             preferred_element_type=jnp.float32,
         )  # [RB, KB]
 
-    def pv(p, slot):
-        v = v_buf[slot]
+    def pv(p, slot, col0=0, width=None):
+        v = v_buf[slot] if width is None else v_buf[
+            slot, pl.ds(col0, width)]
         if v.dtype != compute_dtype:
             v = v.astype(compute_dtype)
         return jax.lax.dot_general(
@@ -1371,6 +1373,17 @@ def _prefill_kernel_hm(
         alpha = fexp(m_prev - m_new)
         # masked scores sit at DEFAULT_MASK_VALUE: exp underflows to 0.0
         # for any row with a valid column — no masked-p pass needed
+        if pv_split > 1:
+            # interleave exp halves with PV halves: the second half's VPU
+            # exp dual-issues under the first half's MXU matmul
+            h_w = kb // pv_split
+            l_new = l_prev * alpha
+            acc_new = acc * alpha
+            for j in range(pv_split):
+                pj = fexp(s[:, j * h_w:(j + 1) * h_w] - m_new)
+                l_new = l_new + jnp.sum(pj, axis=1, keepdims=True)
+                acc_new = acc_new + pv(pj, slot, col0=j * h_w, width=h_w)
+            return m_new, l_new, acc_new
         p = fexp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + pv(p, slot)
@@ -1429,8 +1442,12 @@ def _prefill_kernel_hm(
         m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
         l = l + fexp(sink - m_safe)
     # rows with no valid column carry garbage through the underflow trick
-    # (p == 1 everywhere): zero them here to keep v1 semantics
+    # (p == 1 everywhere): zero them here to keep v1 semantics. Under a
+    # causal mask with qo_len > kv_len the leading rows have a NEGATIVE
+    # causal extent (rows_tok + diag < 0) — no valid column either.
     row_valid = jnp.logical_and(rows_tok[:, :1] < qo_len, kv_len > 0)
+    if causal:
+        row_valid = jnp.logical_and(row_valid, rows_tok[:, :1] + diag >= 0)
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_scale = v_scale if v_scale != 1.0 else 1.0
     if variant is not None and not variant.use_softmax:
@@ -1479,6 +1496,7 @@ def prefill_packed_hm(
     use_exp2: bool = True,
     debug_skip: str | None = None,
     kt_layout: bool = False,  # k_hm is the [H, D, R] transposed pool
+    pv_split: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Prefill v2: per-head grid, software-pipelined chunk loop, KV
     streamed from the 8-aligned head-major pool.
@@ -1521,7 +1539,7 @@ def prefill_packed_hm(
         rope_theta=float(rope_theta), rope_scale=float(rope_scale),
         emit_events=env.kernel_events and not interp,
         use_exp2=bool(use_exp2), debug_skip=debug_skip,
-        kt_layout=bool(kt_layout),
+        kt_layout=bool(kt_layout), pv_split=int(pv_split),
     )
     # sinks/alibi unused: shrink the per-step aux transfer to one tile
     # (a full [rb, 128] f32 block per grid step is ~67 MB of dead DMA

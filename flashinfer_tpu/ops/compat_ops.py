@@ -204,7 +204,14 @@ def nvfp4_quantize_smooth(x, smooth_scale, global_scale=None,
 
 
 def mxfp8_grouped_quantize(x, group_sizes=None, block_size: int = 32):
-    """Grouped MXFP8 quantize — row-blocked scales are group-agnostic."""
+    """Grouped MXFP8 quantize (reference fp8_quantization.py
+    mxfp8_grouped_quantize). The reference needs the group split because
+    its kernel tiles scale blocks over a [sum(m_i), k] buffer where a
+    block may straddle two groups' rows; here scale blocks are computed
+    strictly per row along the last dim (mxfp8_quantize reshapes to
+    [..., k/32, 32]), so a block can never span rows — and therefore
+    never spans groups. group_sizes is accepted for API parity and is a
+    no-op by construction, not an unimplemented path."""
     del group_sizes
     return mxfp8_quantize(x, block_size=block_size)
 

@@ -179,3 +179,82 @@ def test_hm_paged_matches_blockspec(page_size):
     out = _pack_and_run_hm(q, pool_k, pool_v, plan, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def _pack_and_run_hm4(q, k, v, plan, causal, kt_layout, **kw):
+    """Drive the v2 kernel with the natural token-major q/out layout and
+    (optionally) the transposed-K pool — the TPU production layouts."""
+    g = plan.group
+    hkv = plan.num_kv_heads
+    d = q.shape[-1]
+    qsrc = jnp.asarray(plan.q_src, jnp.int32)
+    qvalid = jnp.asarray(plan.q_valid)
+    qp4 = (q[qsrc] * qvalid[:, None, None].astype(q.dtype)).reshape(
+        plan.tq_pad, hkv, g, d)
+    kv8_src = jnp.asarray(plan.kv8_src, jnp.int32)
+    kv8_valid = jnp.asarray(plan.kv8_valid)
+    k_al = k[kv8_src] * kv8_valid[:, None, None].astype(k.dtype)
+    v_al = v[kv8_src] * kv8_valid[:, None, None].astype(v.dtype)
+    if kt_layout:
+        k_hm = jnp.pad(jnp.transpose(k_al, (1, 2, 0)),
+                       ((0, 0), (0, 0), (0, plan.kv_block)))
+    else:
+        k_hm = jnp.pad(jnp.transpose(k_al, (1, 0, 2)),
+                       ((0, 0), (0, plan.kv_block), (0, 0)))
+    v_hm = jnp.pad(jnp.transpose(v_al, (1, 0, 2)),
+                   ((0, 0), (0, plan.kv_block), (0, 0)))
+    aux = jnp.zeros((hkv, plan.row_block, 128), jnp.float32)
+    wargs = (plan.work_q_blk, plan.work_kv_row0_d8, plan.work_kv_len,
+             plan.work_qo_len, plan.work_q_pos)
+    op4, _ = prefill_packed_hm(
+        qp4, k_hm, v_hm, aux, wargs,
+        group=g, sm_scale=1.0 / np.sqrt(d), causal=causal,
+        row_block=plan.row_block, kv_block=plan.kv_block,
+        kt_layout=kt_layout, interpret=True, **kw)
+    out = op4.reshape(plan.tq_pad, q.shape[1], d)
+    return out[jnp.asarray(plan.out_src, jnp.int32)]
+
+
+@pytest.mark.parametrize("kt_layout", [False, True])
+@pytest.mark.parametrize("qo_lens,kv_lens", [
+    ([5, 70, 1], [5, 90, 33]),
+    ([256], [256]),
+])
+def test_hm_natural_layout_and_kt(kt_layout, qo_lens, kv_lens):
+    """Natural [Tq, Hkv, G, D] q/out blocks (zero-copy user layout) and
+    the transposed-K pool must match the BlockSpec reference."""
+    hq, hkv, d = 4, 2, 128
+    rng = np.random.default_rng(2)
+    qo = np.concatenate([[0], np.cumsum(qo_lens)]).astype(np.int64)
+    ks = np.concatenate([[0], np.cumsum(kv_lens)]).astype(np.int64)
+    plan = build_prefill_plan(qo, np.asarray(kv_lens), hq, hkv,
+                              causal=True, kv_row_starts=ks[:-1])
+    q = jnp.asarray(rng.standard_normal((int(qo[-1]), hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((int(ks[-1]), hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((int(ks[-1]), hkv, d)), jnp.float32)
+    ref, _ = run_prefill(q, k, v, plan, causal=True)
+    out = _pack_and_run_hm4(q, k, v, plan, True, kt_layout)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("use_exp2", [False, True])
+@pytest.mark.parametrize("pv_split", [1, 2])
+def test_hm_exp2_and_pv_split(use_exp2, pv_split):
+    """log2-domain softmax and interleaved exp/PV halves are numerically
+    equivalent to the natural-exp single-PV kernel."""
+    hq, hkv, d = 4, 2, 128
+    rng = np.random.default_rng(3)
+    qo = np.asarray([0, 40, 203], np.int64)
+    kv_lens = np.asarray([160, 77])
+    ks = np.asarray([0, 160], np.int64)
+    plan = build_prefill_plan(qo, kv_lens, hq, hkv, causal=True,
+                              kv_row_starts=ks)
+    q = jnp.asarray(rng.standard_normal((203, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((237, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((237, hkv, d)), jnp.float32)
+    ref, _ = run_prefill(q, k, v, plan, causal=True)
+    out = _pack_and_run_hm(q, k, v, plan, True,
+                           use_exp2=use_exp2, pv_split=pv_split)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
