@@ -116,3 +116,157 @@ def load_hf_llama(model_or_state, cfg: LlamaConfig | None = None,
         "lm_head": jnp.asarray(lm_head, dtype),
     }
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# DeepSeek-V3 (transformers modeling_deepseek_v3)
+# ---------------------------------------------------------------------------
+
+
+def _np(w) -> np.ndarray:
+    return np.asarray(w.detach().cpu().float().numpy()
+                      if hasattr(w, "detach") else w, np.float32)
+
+
+def _deinterleave_pe_cols(w: np.ndarray, dr: int) -> np.ndarray:
+    """HF DeepSeek's apply_rotary_pos_emb permutes the rope dims
+    (view(..., d//2, 2).transpose(-1, -2)) before the half-split rotation,
+    i.e. the checkpoint stores them interleaved. Fold that permutation
+    into the projection's last ``dr`` columns so the model's plain
+    half-split rope (models.deepseek._rope) is exact."""
+    perm = np.concatenate([np.arange(0, dr, 2), np.arange(1, dr, 2)])
+    out = w.copy()
+    out[..., -dr:] = w[..., -dr:][..., perm]
+    return out
+
+
+def config_from_hf_deepseek(hc) -> "DeepseekConfig":
+    from .deepseek import DeepseekConfig
+
+    return DeepseekConfig(
+        vocab_size=hc.vocab_size,
+        hidden_size=hc.hidden_size,
+        num_layers=hc.num_hidden_layers,
+        num_heads=hc.num_attention_heads,
+        q_lora_rank=int(getattr(hc, "q_lora_rank", 0) or 0),
+        kv_lora_rank=hc.kv_lora_rank,
+        qk_nope_head_dim=hc.qk_nope_head_dim,
+        qk_rope_head_dim=hc.qk_rope_head_dim,
+        v_head_dim=hc.v_head_dim,
+        num_experts=hc.n_routed_experts,
+        num_shared_experts=int(getattr(hc, "n_shared_experts", 0) or 0),
+        top_k=hc.num_experts_per_tok,
+        n_group=getattr(hc, "n_group", 1) or 1,
+        topk_group=getattr(hc, "topk_group", 1) or 1,
+        routed_scaling_factor=float(
+            getattr(hc, "routed_scaling_factor", 1.0)),
+        moe_intermediate_size=hc.moe_intermediate_size,
+        dense_intermediate_size=hc.intermediate_size,
+        first_k_dense=int(getattr(hc, "first_k_dense_replace", 0)),
+        rope_theta=float(getattr(hc, "rope_theta", 10000.0)),
+        rms_eps=float(getattr(hc, "rms_norm_eps", 1e-6)),
+    )
+
+
+def load_hf_deepseek(model_or_state, cfg=None, dtype=None):
+    """Convert a transformers DeepseekV3ForCausalLM (or state dict + cfg)
+    into (params, cfg) for :mod:`models.deepseek`.
+
+    Mapping notes (verified vs modeling_deepseek_v3):
+    * ``kv_b_proj`` [H*(dn+dv), kvr] splits into the absorbed ``w_uk``
+      [H, dn, kvr] (rows 0:dn per head) and ``w_uv`` [H, kvr, dv]
+      (rows dn: per head, transposed).
+    * rope dims are stored interleaved in the checkpoint (the HF forward
+      permutes them before rotate_half) — folded into the pe columns of
+      ``wq``/``wq_b`` and ``wkv_a`` by :func:`_deinterleave_pe_cols`.
+    * MoE: ``mlp.gate.weight`` → router, ``e_score_correction_bias`` →
+      router_bias, per-expert gate/up stack into ``w13`` [E, h, 2i].
+    """
+    from .deepseek import DeepseekConfig  # noqa: F401
+
+    if hasattr(model_or_state, "state_dict"):
+        sd = model_or_state.state_dict()
+        if cfg is None:
+            cfg = config_from_hf_deepseek(model_or_state.config)
+    else:
+        sd = dict(model_or_state)
+        if cfg is None:
+            raise ValueError("state-dict input needs an explicit cfg")
+    dtype = dtype or cfg.dtype
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+
+    def g(name):
+        return _np(sd[pre + name])
+
+    hh, dn, dr = cfg.num_heads, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    dv, kvr = cfg.v_head_dim, cfg.kv_lora_rank
+    layers = []
+    for l in range(cfg.num_layers):
+        a = f"layers.{l}.self_attn."
+        m = f"layers.{l}.mlp."
+        lp = {
+            "attn_norm": jnp.asarray(
+                g(f"layers.{l}.input_layernorm.weight"), dtype),
+            "mlp_norm": jnp.asarray(
+                g(f"layers.{l}.post_attention_layernorm.weight"), dtype),
+            "kv_norm": jnp.asarray(g(a + "kv_a_layernorm.weight"), dtype),
+            "wo": jnp.asarray(g(a + "o_proj.weight").T, dtype),
+        }
+        # kv_a: [kvr + dr, h] -> [h, kvr + dr]; de-interleave the pe cols
+        lp["wkv_a"] = jnp.asarray(
+            _deinterleave_pe_cols(g(a + "kv_a_proj_with_mqa.weight").T, dr),
+            dtype)
+        kvb = g(a + "kv_b_proj.weight").reshape(hh, dn + dv, kvr)
+        lp["w_uk"] = jnp.asarray(kvb[:, :dn, :], dtype)
+        lp["w_uv"] = jnp.asarray(
+            np.swapaxes(kvb[:, dn:, :], 1, 2), dtype)
+        if cfg.q_lora_rank:
+            lp["wq_a"] = jnp.asarray(g(a + "q_a_proj.weight").T, dtype)
+            lp["q_norm"] = jnp.asarray(g(a + "q_a_layernorm.weight"),
+                                       dtype)
+            wqb = g(a + "q_b_proj.weight").T.reshape(
+                cfg.q_lora_rank, hh, dn + dr)
+            wqb = _deinterleave_pe_cols(wqb, dr)
+            lp["wq_b"] = jnp.asarray(
+                wqb.reshape(cfg.q_lora_rank, hh * (dn + dr)), dtype)
+        else:
+            wq = g(a + "q_proj.weight").T.reshape(
+                cfg.hidden_size, hh, dn + dr)
+            wq = _deinterleave_pe_cols(wq, dr)
+            lp["wq"] = jnp.asarray(
+                wq.reshape(cfg.hidden_size, hh * (dn + dr)), dtype)
+        if l < cfg.first_k_dense:
+            lp["d_gate"] = jnp.asarray(g(m + "gate_proj.weight").T, dtype)
+            lp["d_up"] = jnp.asarray(g(m + "up_proj.weight").T, dtype)
+            lp["d_w2"] = jnp.asarray(g(m + "down_proj.weight").T, dtype)
+        else:
+            lp["router"] = jnp.asarray(g(m + "gate.weight").T, dtype)
+            lp["router_bias"] = jnp.asarray(
+                g(m + "gate.e_score_correction_bias"), jnp.float32)
+            w13 = np.stack([
+                np.concatenate(
+                    [g(m + f"experts.{e}.gate_proj.weight").T,
+                     g(m + f"experts.{e}.up_proj.weight").T], axis=-1)
+                for e in range(cfg.num_experts)])
+            w2 = np.stack([g(m + f"experts.{e}.down_proj.weight").T
+                           for e in range(cfg.num_experts)])
+            lp["w13"] = jnp.asarray(w13, dtype)
+            lp["w2"] = jnp.asarray(w2, dtype)
+            if cfg.num_shared_experts:
+                lp["s_gate"] = jnp.asarray(
+                    g(m + "shared_experts.gate_proj.weight").T, dtype)
+                lp["s_up"] = jnp.asarray(
+                    g(m + "shared_experts.up_proj.weight").T, dtype)
+                lp["s_w2"] = jnp.asarray(
+                    g(m + "shared_experts.down_proj.weight").T, dtype)
+        layers.append(lp)
+
+    embed = g("embed_tokens.weight")
+    lm_head = (_np(sd["lm_head.weight"]).T if "lm_head.weight" in sd
+               else np.ascontiguousarray(embed.T))
+    return {
+        "embed": jnp.asarray(embed, dtype),
+        "final_norm": jnp.asarray(g("norm.weight"), dtype),
+        "lm_head": jnp.asarray(lm_head, dtype),
+        "layers": layers,
+    }, cfg

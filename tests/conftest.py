@@ -12,6 +12,13 @@ import os
 _ON_TPU = bool(os.environ.get("FLASHINFER_TPU_TEST_TPU"))
 
 if not _ON_TPU:
+    # XLA:CPU's AOT executable serialization is unreliable on this
+    # machine class (observed: deterministic SIGSEGV inside
+    # compilation_cache put_executable_and_time while persisting one
+    # softmax executable, and feature-mismatch warnings loading entries
+    # built on other pool hosts). The persistent cache only pays off for
+    # TPU kernel compiles — keep it off under the CPU test run.
+    os.environ["FLASHINFER_TPU_NO_PERSISTENT_CACHE"] = "1"
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:

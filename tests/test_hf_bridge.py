@@ -51,3 +51,71 @@ def test_state_dict_input_and_tied_embeddings(hf_model):
     np.testing.assert_allclose(
         np.asarray(params["lm_head"], np.float32),
         np.asarray(params["embed"], np.float32).T, rtol=1e-2, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# DeepSeek-V3
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hf_deepseek():
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    torch.manual_seed(0)
+    hc = DeepseekV3Config(
+        vocab_size=512,
+        hidden_size=256,
+        intermediate_size=256,
+        moe_intermediate_size=128,
+        num_hidden_layers=3,
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        n_shared_experts=1,
+        n_routed_experts=8,
+        routed_scaling_factor=2.5,
+        kv_lora_rank=256,
+        q_lora_rank=96,
+        qk_rope_head_dim=64,
+        v_head_dim=64,
+        qk_nope_head_dim=64,
+        n_group=2,
+        topk_group=1,
+        num_experts_per_tok=2,
+        first_k_dense_replace=1,
+        norm_topk_prob=True,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        attention_bias=False,
+        rope_scaling=None,
+        use_cache=False,
+    )
+    model = DeepseekV3ForCausalLM(hc)
+    model.eval()
+    return model
+
+
+def test_deepseek_converted_weights_match_hf_logits(hf_deepseek):
+    from flashinfer_tpu.models import deepseek as ds
+    from flashinfer_tpu.models.hf import load_hf_deepseek
+
+    params, cfg = load_hf_deepseek(hf_deepseek, dtype=jnp.float32)
+    cfg = ds.replace(cfg, dtype=jnp.float32)
+    assert cfg.q_lora_rank == 96 and cfg.first_k_dense == 1
+
+    rng = np.random.default_rng(1)
+    n = 9
+    toks = rng.integers(0, cfg.vocab_size, n)
+    with torch.no_grad():
+        ref = hf_deepseek(torch.tensor(toks[None])).logits[0].numpy()
+
+    page_size = 8
+    caches = ds.init_kv_cache(cfg, 2, page_size, dtype=jnp.float32)
+    table = jnp.asarray(np.arange(2, dtype=np.int32)[None])
+    hidden, _ = ds.prefill(params, cfg, caches,
+                           jnp.asarray(toks, jnp.int32),
+                           np.array([0, n]), table)
+    ours = np.asarray(
+        hidden.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32),
+        np.float32)
+    np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)
