@@ -141,7 +141,8 @@ def quantize_params(params: dict, cfg: LlamaConfig) -> dict:
     return out
 
 
-def init_params_quantized(key: jax.Array, cfg: LlamaConfig) -> dict:
+def init_params_quantized(key: jax.Array, cfg: LlamaConfig,
+                          weight_dtype=jnp.float8_e4m3fn) -> dict:
     """Random params generated DIRECTLY in the fp8 deployment format.
 
     Building full-precision 8B params first needs ~2x the final HBM
@@ -161,8 +162,12 @@ def init_params_quantized(key: jax.Array, cfg: LlamaConfig) -> dict:
         w = jax.random.normal(key, (in_dim, out_dim), jnp.float32)
         w = w * (1.0 / math.sqrt(in_dim))
         amax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+        if weight_dtype == jnp.int8:  # int8->bf16 is a native VPU convert
+            scale = jnp.maximum(amax, 1e-8) / 127.0
+            return (jnp.clip(jnp.round(w / scale), -127, 127)
+                    .astype(jnp.int8), scale)
         scale = jnp.maximum(amax, 1e-8) / 448.0
-        return (w / scale).astype(jnp.float8_e4m3fn), scale
+        return (w / scale).astype(weight_dtype), scale
 
     def stack_q(key, in_dim, out_dim):
         qs, ss = [], []

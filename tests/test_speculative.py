@@ -1,5 +1,14 @@
 """End-to-end speculative decoding: multi-token verify (decode kernel +
-dense block + LSE merge) and the draft→verify→accept round."""
+dense block + LSE merge) and the draft→verify→accept round.
+
+These tests compile a large pjit (the 2-layer verify round). XLA:CPU's
+JIT deterministically SEGFAULTS compiling it late in a long-lived
+full-suite process (backend_compile_and_load; passes standalone), so the
+module runs inside a fresh interpreter launched by
+tests/test_speculative_subproc.py — directly collecting it in the parent
+suite is skipped unless FI_SPEC_SUBPROC=1."""
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -10,6 +19,12 @@ from flashinfer_tpu import speculative as sp
 from flashinfer_tpu.models.llama import (
     LlamaConfig, decode_step, init_kv_cache, init_params,
 )
+
+# run these tests only in the dedicated subprocess (see module docstring)
+pytestmark = pytest.mark.skipif(
+    os.environ.get("FI_SPEC_SUBPROC") != "1",
+    reason="runs via test_speculative_subproc.py in a fresh interpreter "
+           "(XLA:CPU compiler segfault in long-lived suite processes)")
 
 
 @pytest.fixture(scope="module")
