@@ -544,6 +544,99 @@ def prefill_with_cache(
     return rmsnorm(x, params["final_norm"], eps=cfg.rms_eps), caches
 
 
+def prefill_append_with_cache(
+    params: dict,
+    cfg: LlamaConfig,
+    kv_caches: jax.Array,  # [L, pages, 2, ps, Hkv*D] combined cache
+    token_ids: jax.Array,  # [total_q] ragged NEW (suffix) tokens
+    qo_indptr,  # host [B+1] over the new tokens
+    page_table: jax.Array,  # [B, P] pages owned by each request
+    prefix_lens,  # host [B]: tokens ALREADY in the cache per request
+    *,
+    kv_scale: float = 1.0 / 32.0,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Chunked/prefix-aware prefill: the new tokens attend the request's
+    EXISTING cache pages (a shared or previously-chunked prefix) plus
+    themselves, and their K/V rows are written into the owned pages.
+
+    The reference analog is chunked prefill over BatchPrefillWithPagedKV
+    (qo_len < kv_len append semantics, scheduler.cuh causal diag shift) —
+    the serving engine's prefix-cache admission path. Each layer scatters
+    the suffix K/V first, then runs the PAGED prefill plan over the pool,
+    so prefix and suffix stream through the same kernel reads."""
+    import numpy as np
+
+    qo_indptr = np.asarray(qo_indptr, np.int64)
+    prefix_lens = np.asarray(prefix_lens, np.int64)
+    batch = len(qo_indptr) - 1
+    q_lens = qo_indptr[1:] - qo_indptr[:-1]
+    kv_lens = prefix_lens + q_lens  # cache rows visible per request
+    num_layers, num_pages = kv_caches.shape[0], kv_caches.shape[1]
+    page_size = kv_caches.shape[3]
+    d, hq, hkv = cfg.head_dim, cfg.num_qo_heads, cfg.num_kv_heads
+    total_q = int(qo_indptr[-1])
+
+    pt_np = np.asarray(page_table)
+    page_lists = [
+        pt_np[b, : max(1, -(-int(kv_lens[b]) // page_size))]
+        for b in range(batch)
+    ]
+    plan = build_prefill_plan(
+        qo_indptr, kv_lens, cfg.num_qo_heads, cfg.num_kv_heads,
+        causal=True, page_table=page_lists, page_size=page_size,
+    )
+    # absolute position of each new token (rope + scatter slots)
+    pos_np = np.concatenate(
+        [prefix_lens[b] + np.arange(int(q_lens[b])) for b in range(batch)]
+    ) if batch else np.arange(total_q)
+    pos = jnp.asarray(pos_np, jnp.int32)
+    b_of = np.repeat(np.arange(batch), q_lens)
+    page_of = jnp.asarray(pt_np[b_of, pos_np // page_size], jnp.int32)
+    slot_of = jnp.asarray(pos_np % page_size, jnp.int32)
+
+    quant = kv_caches.dtype in (jnp.int8, jnp.float8_e4m3fn,
+                                jnp.float8_e5m2)
+    kq_scale = float(kv_scale) if quant else 1.0
+
+    def to_cache(a):
+        if not quant:
+            return a.astype(kv_caches.dtype)
+        s = a.astype(jnp.float32) / kq_scale
+        if kv_caches.dtype == jnp.int8:
+            return jnp.clip(jnp.round(s), -127, 127).astype(jnp.int8)
+        return s.astype(kv_caches.dtype)
+
+    x = params["embed"][token_ids].astype(cfg.dtype)
+    caches = kv_caches
+    for l in range(cfg.num_layers):
+        lp = {k: _index_layer(params[k], l) for k in _layer_keys(cfg)}
+        h_in = x
+        x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
+        q = _rope(_mm(x, lp["wq"]).reshape(total_q, hq, d), pos,
+                  cfg.rope_theta)
+        k = _rope(_mm(x, lp["wk"]).reshape(total_q, hkv, d), pos,
+                  cfg.rope_theta)
+        v = _mm(x, lp["wv"]).reshape(total_q, hkv, d)
+        rows2 = jnp.stack(
+            [to_cache(k.reshape(total_q, hkv * d)),
+             to_cache(v.reshape(total_q, hkv * d))], axis=1)
+        caches = caches.at[l, page_of, :, slot_of, :].set(rows2)
+        # paged attention over prefix + suffix from the pool
+        # (cache layout is [pages, 2, ps, Hkv*D]: split k/v FIRST, then
+        # flatten pages x ps into pool rows)
+        pool_k = caches[l, :, 0].reshape(num_pages * page_size, hkv, d)
+        pool_v = caches[l, :, 1].reshape(num_pages * page_size, hkv, d)
+        attn, _ = run_prefill(
+            q, pool_k, pool_v, plan, causal=True,
+            k_scale=kq_scale, v_scale=kq_scale, interpret=interpret)
+        x = h_in + _mm(attn.reshape(total_q, hq * d), lp["wo"])
+        h_in = x
+        x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
+        x = h_in + _mlp(cfg, lp, x).astype(x.dtype)
+    return rmsnorm(x, params["final_norm"], eps=cfg.rms_eps), caches
+
+
 # ---------------------------------------------------------------------------
 # Sharded decode: shard_map over (dp, tp) — megatron TP + data parallel
 # ---------------------------------------------------------------------------

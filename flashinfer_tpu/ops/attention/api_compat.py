@@ -95,6 +95,10 @@ def trtllm_batch_decode_with_kv_cache(
         )
         kf, vf = k_cache, v_cache
         if kf.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+            # fp8 has NO hardware convert on v5e: one upcast pass + the
+            # bf16 kernel measures FASTER than in-kernel fp8 conversion
+            # (0.41+0.65 vs 1.85 ms on the b64/kv1k sweep) — int8 caches
+            # below stream natively instead
             kf = kf.astype(jnp.bfloat16)
             vf = vf.astype(jnp.bfloat16)
         o, lse = run_prefill(
@@ -112,6 +116,10 @@ def trtllm_batch_decode_with_kv_cache(
         return (o, lse) if return_lse else o
     kf = k_cache
     if kf.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        # see the q_len_per_req path above: upcast-then-bf16-kernel beats
+        # in-kernel fp8 conversion on v5e; int8 streams natively (the
+        # kernel's int8->bf16 convert hides under the DMA — measured
+        # 776 vs 908 GB/s same-bytes, benchmarks/decode_int8_probe.py)
         kf = kf.astype(jnp.bfloat16)
         v_cache = v_cache.astype(jnp.bfloat16)
     o, lse = paged_decode_attention(
