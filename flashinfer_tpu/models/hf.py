@@ -270,3 +270,170 @@ def load_hf_deepseek(model_or_state, cfg=None, dtype=None):
         "lm_head": jnp.asarray(lm_head, dtype),
         "layers": layers,
     }, cfg
+
+
+# ---------------------------------------------------------------------------
+# Qwen3-Next (transformers modeling_qwen3_next)
+# ---------------------------------------------------------------------------
+
+
+def config_from_hf_qwen_next(hc) -> "QwenNextConfig":
+    from .qwen_next import QwenNextConfig
+
+    lt = list(getattr(hc, "layer_types", []))
+    # our periodic rule: layer l is full iff l % every == every - 1
+    full_idx = [i for i, t in enumerate(lt) if t == "full_attention"]
+    every = full_idx[0] + 1 if full_idx else hc.num_hidden_layers + 1
+    for i, t in enumerate(lt):
+        want = "full_attention" if i % every == every - 1 else \
+            "linear_attention"
+        if t != want:
+            raise ValueError(
+                f"non-periodic layer_types not supported: {lt}")
+    shared = int(getattr(hc, "shared_expert_intermediate_size", 0)
+                 // hc.moe_intermediate_size) if hc.num_experts else 0
+    return QwenNextConfig(
+        vocab_size=hc.vocab_size,
+        hidden_size=hc.hidden_size,
+        num_layers=hc.num_hidden_layers,
+        full_attn_every=every,
+        num_qo_heads=hc.num_attention_heads,
+        num_kv_heads=hc.num_key_value_heads,
+        head_dim=hc.head_dim,
+        rope_theta=float(hc.rope_theta),
+        qk_norm=True,
+        attn_gate=True,
+        rotary_fraction=float(getattr(hc, "partial_rotary_factor", 1.0)),
+        linear_k_heads=hc.linear_num_key_heads,
+        linear_v_heads=hc.linear_num_value_heads,
+        linear_dk=hc.linear_key_head_dim,
+        linear_dv=hc.linear_value_head_dim,
+        conv_kernel=hc.linear_conv_kernel_dim,
+        num_experts=hc.num_experts,
+        top_k=hc.num_experts_per_tok,
+        num_shared_experts=shared,
+        moe_intermediate_size=hc.moe_intermediate_size,
+        rms_eps=float(hc.rms_norm_eps),
+    )
+
+
+def load_hf_qwen_next(model_or_state, cfg=None, dtype=None):
+    """Convert a transformers Qwen3NextForCausalLM into (params, cfg) for
+    :mod:`models.qwen_next`.
+
+    Layout notes (verified vs modeling_qwen3_next):
+    * full attention: ``q_proj`` doubles per head as [query | gate] —
+      split into ``wq``/``wg``; per-head ``q_norm``/``k_norm``; partial
+      rotary handled by the model config.
+    * GDN: ``in_proj_qkvz`` is per-k-head interleaved
+      [q_i | k_i | v_grp_i | z_grp_i] — de-interleaved into the model's
+      [q_all | k_all | v_all] ``w_qkv`` (the conv channel order, which
+      matches the HF conv input built AFTER the reordering) plus ``w_z``;
+      ``in_proj_ba`` likewise splits into b|a halves of ``w_ba``.
+    * conv1d depthwise weight [conv_dim, 1, K] -> ``conv_w`` [conv_dim, K].
+    """
+    from .qwen_next import QwenNextConfig  # noqa: F401
+
+    if hasattr(model_or_state, "state_dict"):
+        sd = model_or_state.state_dict()
+        if cfg is None:
+            cfg = config_from_hf_qwen_next(model_or_state.config)
+    else:
+        sd = dict(model_or_state)
+        if cfg is None:
+            raise ValueError("state-dict input needs an explicit cfg")
+    dtype = dtype or cfg.dtype
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+
+    def g(name):
+        return _np(sd[pre + name])
+
+    h = cfg.hidden_size
+    hq, hkv, d = cfg.num_qo_heads, cfg.num_kv_heads, cfg.head_dim
+    hk, hv = cfg.linear_k_heads, cfg.linear_v_heads
+    dk, dv = cfg.linear_dk, cfg.linear_dv
+    r = hv // hk  # v heads per k head
+    layers = []
+    for l in range(cfg.num_layers):
+        a = f"layers.{l}.self_attn."
+        la = f"layers.{l}.linear_attn."
+        m = f"layers.{l}.mlp."
+        # Qwen3NextRMSNorm is ZERO-CENTERED: y = norm(x) * (1 + w) —
+        # fold the +1 into the stored weight (the GDN gated norm is the
+        # plain form and keeps its weight as-is)
+        lp = {
+            "attn_norm": jnp.asarray(
+                1.0 + g(f"layers.{l}.input_layernorm.weight"), dtype),
+            "mlp_norm": jnp.asarray(
+                1.0 + g(f"layers.{l}.post_attention_layernorm.weight"),
+                dtype),
+        }
+        if cfg.is_full(l):
+            qp = g(a + "q_proj.weight").T.reshape(h, hq, 2 * d)
+            lp["wq"] = jnp.asarray(
+                qp[:, :, :d].reshape(h, hq * d), dtype)
+            lp["wg"] = jnp.asarray(
+                qp[:, :, d:].reshape(h, hq * d), dtype)
+            lp["wk"] = jnp.asarray(g(a + "k_proj.weight").T, dtype)
+            lp["wv"] = jnp.asarray(g(a + "v_proj.weight").T, dtype)
+            lp["wo"] = jnp.asarray(g(a + "o_proj.weight").T, dtype)
+            lp["q_norm"] = jnp.asarray(1.0 + g(a + "q_norm.weight"),
+                                       dtype)
+            lp["k_norm"] = jnp.asarray(1.0 + g(a + "k_norm.weight"),
+                                       dtype)
+        else:
+            qkvz = g(la + "in_proj_qkvz.weight").T.reshape(
+                h, hk, 2 * dk + 2 * r * dv)
+            q_w = qkvz[:, :, :dk].reshape(h, hk * dk)
+            k_w = qkvz[:, :, dk:2 * dk].reshape(h, hk * dk)
+            v_w = qkvz[:, :, 2 * dk:2 * dk + r * dv].reshape(h, hv * dv)
+            z_w = qkvz[:, :, 2 * dk + r * dv:].reshape(h, hv * dv)
+            lp["w_qkv"] = jnp.asarray(
+                np.concatenate([q_w, k_w, v_w], axis=-1), dtype)
+            lp["w_z"] = jnp.asarray(z_w, dtype)
+            ba = g(la + "in_proj_ba.weight").T.reshape(h, hk, 2 * r)
+            b_w = ba[:, :, :r].reshape(h, hv)
+            a_w = ba[:, :, r:].reshape(h, hv)
+            lp["w_ba"] = jnp.asarray(
+                np.concatenate([b_w, a_w], axis=-1), dtype)
+            lp["conv_w"] = jnp.asarray(
+                g(la + "conv1d.weight")[:, 0, :], dtype)
+            lp["a_log"] = jnp.asarray(g(la + "A_log"), jnp.float32)
+            lp["dt_bias"] = jnp.asarray(g(la + "dt_bias"), jnp.float32)
+            lp["gdn_norm"] = jnp.asarray(g(la + "norm.weight"), dtype)
+            lp["wo"] = jnp.asarray(g(la + "out_proj.weight").T, dtype)
+        if cfg.num_experts:
+            lp["router"] = jnp.asarray(g(m + "gate.weight").T, dtype)
+            w13 = np.stack([
+                np.concatenate(
+                    [g(m + f"experts.{e}.gate_proj.weight").T,
+                     g(m + f"experts.{e}.up_proj.weight").T], axis=-1)
+                for e in range(cfg.num_experts)])
+            w2 = np.stack([g(m + f"experts.{e}.down_proj.weight").T
+                           for e in range(cfg.num_experts)])
+            lp["w13"] = jnp.asarray(w13, dtype)
+            lp["w2"] = jnp.asarray(w2, dtype)
+            if cfg.num_shared_experts:
+                lp["s_gate"] = jnp.asarray(
+                    g(m + "shared_expert.gate_proj.weight").T, dtype)
+                lp["s_up"] = jnp.asarray(
+                    g(m + "shared_expert.up_proj.weight").T, dtype)
+                lp["s_w2"] = jnp.asarray(
+                    g(m + "shared_expert.down_proj.weight").T, dtype)
+                lp["s_gate_w"] = jnp.asarray(
+                    g(m + "shared_expert_gate.weight").T, dtype)
+        else:
+            lp["w_gate"] = jnp.asarray(g(m + "gate_proj.weight").T, dtype)
+            lp["w_up"] = jnp.asarray(g(m + "up_proj.weight").T, dtype)
+            lp["w2"] = jnp.asarray(g(m + "down_proj.weight").T, dtype)
+        layers.append(lp)
+
+    embed = g("embed_tokens.weight")
+    lm_head = (_np(sd["lm_head.weight"]).T if "lm_head.weight" in sd
+               else np.ascontiguousarray(embed.T))
+    return {
+        "embed": jnp.asarray(embed, dtype),
+        "final_norm": jnp.asarray(1.0 + g("norm.weight"), dtype),
+        "lm_head": jnp.asarray(lm_head, dtype),
+        "layers": layers,
+    }, cfg

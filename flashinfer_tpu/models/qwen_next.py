@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from ..ops.activation import silu_and_mul
 from ..ops.moe import fused_moe
 from ..ops.norm import rmsnorm
-from ..ops.routing import routing_renormalize
+from ..ops.routing import routing_renormalize_naive
 from ..ops.ssm import chunk_gated_delta_rule, gdn_decode
 from .llama import _rope
 
@@ -48,11 +48,16 @@ class QwenNextConfig:
     hidden_size: int = 2048
     num_layers: int = 48
     full_attn_every: int = 4  # layer l is full attention iff l % this == this-1
-    # full attention (GQA)
+    # full attention (GQA) — Qwen3-Next semantics: per-head q/k RMSNorm,
+    # sigmoid output gating (q_proj doubles as [query | gate]), and
+    # partial rotary over the first rotary_fraction * head_dim dims
     num_qo_heads: int = 16
     num_kv_heads: int = 2
     head_dim: int = 256
     rope_theta: float = 10000000.0
+    qk_norm: bool = True
+    attn_gate: bool = True
+    rotary_fraction: float = 0.25
     # linear attention (GDN)
     linear_k_heads: int = 16
     linear_v_heads: int = 32
@@ -130,6 +135,11 @@ def init_params(key: jax.Array, cfg: QwenNextConfig) -> dict:
             lp.update(
                 wq=w(h, hq * d), wk=w(h, hkv * d), wv=w(h, hkv * d),
                 wo=w(hq * d, h))
+            if cfg.attn_gate:
+                lp.update(wg=w(h, hq * d))
+            if cfg.qk_norm:
+                lp.update(q_norm=jnp.ones((d,), cfg.dtype),
+                          k_norm=jnp.ones((d,), cfg.dtype))
         else:
             hv, dv = cfg.linear_v_heads, cfg.linear_dv
             lp.update(
@@ -149,7 +159,8 @@ def init_params(key: jax.Array, cfg: QwenNextConfig) -> dict:
                       w2=w(e, i_sz, h))
             if cfg.num_shared_experts:
                 si = i_sz * cfg.num_shared_experts
-                lp.update(s_gate=w(h, si), s_up=w(h, si), s_w2=w(si, h))
+                lp.update(s_gate=w(h, si), s_up=w(h, si), s_w2=w(si, h),
+                          s_gate_w=w(h, 1))
         else:
             i_sz = 4 * h
             lp.update(w_gate=w(h, i_sz), w_up=w(h, i_sz), w2=w(i_sz, h))
@@ -178,6 +189,41 @@ def init_state(cfg: QwenNextConfig, batch: int, num_pages: int,
             (cfg.num_linear_layers, batch, cfg.conv_kernel - 1,
              cfg.conv_dim), cfg.dtype),
     }
+
+
+def _rope_partial(x: jax.Array, pos: jax.Array, theta: float,
+                  frac: float) -> jax.Array:
+    """Rotary over the first frac*d dims, pass-through on the rest
+    (HF Qwen3Next apply_rotary_pos_emb with rotary_dim = cos.shape[-1])."""
+    d = x.shape[-1]
+    rot = int(d * frac)
+    if rot >= d:
+        return _rope(x, pos, theta)
+    return jnp.concatenate(
+        [_rope(x[..., :rot], pos, theta), x[..., rot:]], axis=-1)
+
+
+def _qk_heads(cfg: QwenNextConfig, lp: dict, x: jax.Array, pos, shape_q,
+              shape_k):
+    """q/k projections with per-head RMSNorm then partial rotary."""
+    q = (x @ lp["wq"]).reshape(shape_q)
+    k = (x @ lp["wk"]).reshape(shape_k)
+    if cfg.qk_norm:
+        q = rmsnorm(q, lp["q_norm"], eps=cfg.rms_eps)
+        k = rmsnorm(k, lp["k_norm"], eps=cfg.rms_eps)
+    q = _rope_partial(q, pos, cfg.rope_theta, cfg.rotary_fraction)
+    k = _rope_partial(k, pos, cfg.rope_theta, cfg.rotary_fraction)
+    return q, k
+
+
+def _attn_out(cfg: QwenNextConfig, lp: dict, attn_flat: jax.Array,
+              x: jax.Array) -> jax.Array:
+    """Sigmoid output gate (HF: attn * sigmoid(gate half of q_proj))."""
+    if cfg.attn_gate:
+        gate = (x @ lp["wg"]).astype(jnp.float32)
+        attn_flat = (attn_flat.astype(jnp.float32)
+                     * jax.nn.sigmoid(gate)).astype(attn_flat.dtype)
+    return attn_flat @ lp["wo"]
 
 
 def _split_qkv(cfg: QwenNextConfig, qkv: jax.Array):
@@ -216,11 +262,17 @@ def _mlp(cfg: QwenNextConfig, lp: dict, x: jax.Array) -> jax.Array:
         gate, up = x @ lp["w_gate"], x @ lp["w_up"]
         return silu_and_mul(jnp.concatenate([gate, up], -1)) @ lp["w2"]
     logits = (x @ lp["router"]).astype(jnp.float32)
-    ids, wts = routing_renormalize(logits, cfg.top_k)
+    # HF Qwen3Next routing: softmax over ALL experts -> top-k -> renorm
+    # (TRT-LLM "RenormalizeNaive")
+    ids, wts = routing_renormalize_naive(logits, cfg.top_k)
     y = fused_moe(x, lp["w13"], lp["w2"], ids, wts, out_dtype=x.dtype)
     if cfg.num_shared_experts:
         g, u = x @ lp["s_gate"], x @ lp["s_up"]
-        y = y + silu_and_mul(jnp.concatenate([g, u], -1)) @ lp["s_w2"]
+        sh = silu_and_mul(jnp.concatenate([g, u], -1)) @ lp["s_w2"]
+        if "s_gate_w" in lp:  # HF shared_expert_gate: sigmoid scalar gate
+            sh = sh * jax.nn.sigmoid(
+                (x @ lp["s_gate_w"]).astype(jnp.float32)).astype(sh.dtype)
+        y = y + sh
     return y
 
 
@@ -269,10 +321,8 @@ def decode_step(
         x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
         if cfg.is_full(l):
             fi = cfg.full_index(l)
-            q = _rope((x @ lp["wq"]).reshape(batch, hq, d), positions,
-                      cfg.rope_theta)
-            k = _rope((x @ lp["wk"]).reshape(batch, hkv, d), positions,
-                      cfg.rope_theta)
+            q, k = _qk_heads(cfg, lp, x, positions, (batch, hq, d),
+                             (batch, hkv, d))
             v = (x @ lp["wv"]).reshape(batch, hkv, d)
             k2, v2 = k.reshape(batch, hkv * d), v.reshape(batch, hkv * d)
             kv_flat = paged_append_rows(
@@ -290,7 +340,7 @@ def decode_step(
                 sm_scale=1.0 / math.sqrt(d), logits_soft_cap=0.0,
                 window_left=-1, k_scale=1.0, v_scale=1.0,
                 use_sinks=False, interpret=interpret)
-            x = h_in + attn.reshape(batch, hq * d) @ lp["wo"]
+            x = h_in + _attn_out(cfg, lp, attn.reshape(batch, hq * d), x)
         else:
             li = cfg.linear_index(l)
             qkv = x @ lp["w_qkv"]  # [B, conv_dim]
@@ -349,10 +399,8 @@ def prefill(
         x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
         if cfg.is_full(l):
             fi = cfg.full_index(l)
-            q = _rope((x @ lp["wq"]).reshape(batch, t, hq, d), pos,
-                      cfg.rope_theta)
-            k = _rope((x @ lp["wk"]).reshape(batch, t, hkv, d), pos,
-                      cfg.rope_theta)
+            q, k = _qk_heads(cfg, lp, x, pos, (batch, t, hq, d),
+                             (batch, t, hkv, d))
             v = (x @ lp["wv"]).reshape(batch, t, hkv, d)
             # dense causal GQA
             kr = jnp.repeat(k, hq // hkv, axis=2)
@@ -364,7 +412,8 @@ def prefill(
             p = jax.nn.softmax(s, axis=-1)
             attn = jnp.einsum("bhqk,bkhd->bqhd", p,
                               vr.astype(jnp.float32)).astype(cfg.dtype)
-            x = h_in + attn.reshape(batch, t, hq * d) @ lp["wo"]
+            x = h_in + _attn_out(
+                cfg, lp, attn.reshape(batch, t, hq * d), x)
             # scatter prompt K/V rows into the paged cache (one-time)
             page_of = page_table[jnp.arange(batch)[:, None],
                                  pos // page_size].reshape(-1)  # [B*T]

@@ -119,3 +119,53 @@ def test_deepseek_converted_weights_match_hf_logits(hf_deepseek):
         hidden.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32),
         np.float32)
     np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)
+
+
+# ---------------------------------------------------------------------------
+# Qwen3-Next
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hf_qwen_next():
+    from transformers import Qwen3NextConfig, Qwen3NextForCausalLM
+
+    torch.manual_seed(0)
+    hc = Qwen3NextConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=4,
+        head_dim=128, linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=64, linear_value_head_dim=64,
+        linear_conv_kernel_dim=4, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=128, shared_expert_intermediate_size=128,
+        decoder_sparse_step=1, partial_rotary_factor=0.25,
+        max_position_embeddings=128, rope_theta=10000.0,
+        norm_topk_prob=True, attn_implementation="eager", use_cache=False,
+    )
+    model = Qwen3NextForCausalLM(hc)
+    model.eval()
+    return model
+
+
+def test_qwen_next_converted_weights_match_hf_logits(hf_qwen_next):
+    from flashinfer_tpu.models import qwen_next as qn
+    from flashinfer_tpu.models.hf import load_hf_qwen_next
+
+    params, cfg = load_hf_qwen_next(hf_qwen_next, dtype=jnp.float32)
+    cfg = qn.replace(cfg, dtype=jnp.float32)
+    assert cfg.full_attn_every == 4 and cfg.rotary_fraction == 0.25
+
+    rng = np.random.default_rng(2)
+    n = 9
+    toks = rng.integers(0, cfg.vocab_size, n)
+    with torch.no_grad():
+        ref = hf_qwen_next(torch.tensor(toks[None])).logits[0].numpy()
+
+    state = qn.init_state(cfg, 1, 4, 8, kv_dtype=jnp.float32)
+    table = jnp.asarray(np.arange(4, dtype=np.int32)[None])
+    hidden, _ = qn.prefill(params, cfg, state,
+                           jnp.asarray(toks[None], jnp.int32), table)
+    ours = np.asarray(
+        hidden[0].astype(jnp.float32)
+        @ params["lm_head"].astype(jnp.float32), np.float32)
+    np.testing.assert_allclose(ours, ref, rtol=4e-3, atol=4e-3)
