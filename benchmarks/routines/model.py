@@ -213,3 +213,55 @@ def bench_model_mla_moe_decode(
         "ms_per_step": round(dt * 1e3, 3),
         "metric": "tokens/s/chip", "value": round(batch / dt, 1),
     }
+
+
+def bench_prefix_cache_ttft(
+    num_layers: int = 8, prompt_len: int = 2048, shared_len: int = 1920,
+    page_size: int = 32,
+) -> dict:
+    """Admission latency with a shared-prefix cache hit vs a cold full
+    prefill (the serving prefix-cache win, serving.py PrefixCache)."""
+    import functools
+    import time
+
+    from flashinfer_tpu.models.llama import (
+        LlamaConfig, init_kv_cache, init_params,
+        prefill_append_with_cache,
+    )
+
+    cfg = LlamaConfig(num_layers=num_layers)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    num_pages = prompt_len // page_size + 2
+    caches = init_kv_cache(cfg, num_pages, page_size, dtype=jnp.int8)
+    table = jnp.asarray(
+        np.arange(num_pages, dtype=np.int32)[None])
+    toks = jnp.zeros((prompt_len,), jnp.int32)
+    suffix = prompt_len - shared_len
+
+    def timed(tokens, prefix_len):
+        n = int(tokens.shape[0])
+
+        @jax.jit
+        def fn(tokens, caches):
+            return prefill_append_with_cache(
+                params, cfg, caches, tokens, np.asarray([0, n], np.int64),
+                table, np.asarray([prefix_len], np.int64))
+
+        h, c = fn(tokens, caches)  # compile + warm
+        jax.block_until_ready(h)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            h, c = fn(tokens, caches)
+            jax.block_until_ready(h)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    cold = timed(toks, 0)
+    warm = timed(toks[:suffix], shared_len)
+    return {
+        "routine": "prefix_cache_ttft",
+        "config": f"{num_layers}L prompt{prompt_len} shared{shared_len}",
+        "cold_ms": round(cold * 1e3, 2), "warm_ms": round(warm * 1e3, 2),
+        "metric": "admission speedup", "value": round(cold / warm, 2),
+    }

@@ -194,7 +194,11 @@ class Engine:
         table[0, :len(req.pages)] = req.pages
         # prefix-aware admission: the suffix attends the shared prefix
         # pages + itself (chunked-prefill plan) and writes only its own
-        # K/V rows; with no prefix this degenerates to a full prefill
+        # K/V rows; with no prefix this degenerates to a full prefill.
+        # NOTE: the call is host-planned per admission (page ids live in
+        # the plan); a production engine jits per (suffix, prefix) bucket
+        # with the table closed over — see bench_prefix_cache_ttft for
+        # the jitted-latency shape of the same call.
         hidden, self.caches = prefill_append_with_cache(
             self.params, self.cfg, self.caches,
             jnp.asarray(suffix, jnp.int32),

@@ -41,3 +41,17 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_between_modules():
+    """XLA:CPU's JIT segfaults (backend_compile_and_load) sporadically
+    once a long-lived process has accumulated enough compiled programs —
+    observed at different tests on every full-suite run, never when the
+    same module runs alone. Dropping the executable caches between
+    modules keeps the live-program count bounded."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
