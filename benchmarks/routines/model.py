@@ -20,16 +20,31 @@ def bench_model_decode(
     num_layers: int = 32, batch: int = 64, kv_len: int = 1024,
     page_size: int = 32, fp8_weights: bool = True, kv_dtype: str = "int8",
     append_mode: str = "per_layer", iters: int = 32,
+    weight_dtype: str | None = None, gemm_impl: str = "xla",
 ) -> dict:
-    """Tokens/sec/chip for llama-8B-geometry paged decode."""
+    """Tokens/sec/chip for llama-8B-geometry paged decode.
+
+    ``weight_dtype`` overrides the fp8_weights bool ("fp8"|"int8"|"bf16");
+    ``gemm_impl="gmm"`` routes int8 weights through the Pallas
+    dense_matmul_quant decode GEMM path.
+    """
+    from dataclasses import replace
+
     from flashinfer_tpu.models.llama import (
         LlamaConfig, decode_step, init_kv_cache, init_params,
         init_params_quantized,
     )
 
     cfg = LlamaConfig(num_layers=num_layers)
+    if gemm_impl != "xla":
+        cfg = replace(cfg, decode_gemm_impl=gemm_impl)
+    if weight_dtype is not None:
+        fp8_weights = weight_dtype != "bf16"
     if fp8_weights:
-        params = init_params_quantized(jax.random.PRNGKey(0), cfg)
+        wdt = (jnp.int8 if weight_dtype == "int8"
+               else jnp.float8_e4m3fn)
+        params = init_params_quantized(jax.random.PRNGKey(0), cfg,
+                                       weight_dtype=wdt)
     else:
         params = init_params(jax.random.PRNGKey(0), cfg)
 
@@ -95,7 +110,9 @@ def bench_model_decode(
     toks = batch / dt
     return {
         "routine": "model_decode",
-        "config": f"{num_layers}L-8B{'-fp8' if fp8_weights else ''}"
+        "config": f"{num_layers}L-8B"
+                  f"{'-' + (weight_dtype or 'fp8') if fp8_weights else ''}"
+                  f"{'-' + gemm_impl if gemm_impl != 'xla' else ''}"
                   f"-{kv_dtype}kv-{append_mode} b{batch} kv{kv_len}",
         "ms_per_step": round(dt * 1e3, 3),
         "metric": "tokens/s/chip", "value": round(toks, 1),

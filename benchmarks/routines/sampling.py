@@ -1,0 +1,71 @@
+"""Sampling benchmark routines at production vocab size.
+
+Reference analog: benchmarks/bench_sampling.py + the rejection-round
+methodology of include/flashinfer/sampling.cuh:1202 (few full-vocab
+passes per sample). Our sorting-free design costs: one softmax pass, a
+fixed 32-iteration threshold binary search (each iteration is one
+compare+sum pass over the vocab in VMEM-resident f32), and a Gumbel
+argmax — all VPU work, bandwidth-bound on the logits matrix.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flashinfer_tpu.testing.utils import bench_loop
+
+
+def _logits(batch: int, vocab: int) -> jnp.ndarray:
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.standard_normal((batch, vocab)) * 4.0,
+                       jnp.float32)
+
+
+def bench_top_k_top_p_sampling(batch: int = 64, vocab: int = 128256) -> dict:
+    """Joint top-k/top-p sampling from logits (llama-3 vocab size).
+
+    The fed-back token perturbs the next iteration's logits so the chain
+    stays data-dependent (bench_loop contract).
+    """
+    from flashinfer_tpu.ops.sampling import top_k_top_p_sampling_from_logits
+
+    logits = _logits(batch, vocab)
+    key = jax.random.PRNGKey(0)
+    top_k = jnp.full((batch,), 40, jnp.int32)
+    top_p = jnp.full((batch,), 0.9, jnp.float32)
+
+    def step(lg, key, top_k, top_p):
+        tok = top_k_top_p_sampling_from_logits(lg, top_k, top_p, key=key)
+        return lg + (tok.astype(jnp.float32) * 1e-9)[:, None]
+
+    dt = bench_loop(step, logits, key, top_k, top_p, iters=8)
+    bytes_touched = batch * vocab * 4
+    return {
+        "routine": "top_k_top_p_sampling", "ms": round(dt * 1e3, 3),
+        "config": f"b{batch} v{vocab} dyn-k40 p0.9",
+        "value": round(batch / dt, 1), "unit": "tokens/s",
+        "logits_gbs": round(bytes_touched / dt / 1e9, 1),
+    }
+
+
+def bench_top_k_mask_logits(batch: int = 64, vocab: int = 128256) -> dict:
+    """Per-row dynamic-k mask (the 32-iteration logit-space search)."""
+    from flashinfer_tpu.ops.sampling import top_k_mask_logits
+
+    logits = _logits(batch, vocab)
+    top_k = jnp.asarray(
+        np.random.default_rng(1).integers(1, 1000, (batch,)), jnp.int32)
+
+    def step(lg, top_k):
+        out = top_k_mask_logits(lg, top_k)
+        return lg + jnp.where(jnp.isfinite(out), 1e-9, 0.0)
+
+    dt = bench_loop(step, logits, top_k, iters=8)
+    bytes_touched = batch * vocab * 4
+    return {
+        "routine": "top_k_mask_logits", "ms": round(dt * 1e3, 3),
+        "config": f"b{batch} v{vocab} dyn-k",
+        "value": round(bytes_touched / dt / 1e9, 1), "unit": "GB/s-logits",
+    }

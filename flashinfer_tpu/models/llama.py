@@ -51,6 +51,12 @@ class LlamaConfig:
     # MoE (0 experts → dense gated MLP)
     num_experts: int = 0
     top_k: int = 2
+    # decode-step GEMM path for quantized int8 weights: "xla" (convert-dot)
+    # or "gmm" (Pallas dense_matmul_quant — streams weights at int8 width;
+    # at M=batch=64 the XLA path runs well under the weight-streaming
+    # roofline, benchmarks/dense_smallm_ab.py). Prefill always uses XLA
+    # (M is large there; the MXU, not weight DMA, binds).
+    decode_gemm_impl: str = "xla"
 
     @classmethod
     def llama3_8b(cls) -> "LlamaConfig":
@@ -196,11 +202,21 @@ def init_params_quantized(key: jax.Array, cfg: LlamaConfig,
     return p
 
 
-def _mm(x: jax.Array, w) -> jax.Array:
+def _mm(x: jax.Array, w, impl: str = "xla") -> jax.Array:
     """x @ w for plain or fp8-quantized ``(q, scale)`` weights; the upcast
-    and scale fuse into the XLA dot (no bf16 weight copy in HBM)."""
+    and scale fuse into the XLA dot (no bf16 weight copy in HBM).
+
+    ``impl="gmm"`` routes int8 weights through the Pallas
+    ``dense_matmul_quant`` kernel (weight streamed at int8 width with the
+    dequant hidden under the MXU pipeline) — the small-M decode-step path;
+    the per-output-channel scale applies outside as an XLA epilogue."""
     if isinstance(w, tuple):
         q, scale = w
+        if impl == "gmm" and q.dtype == jnp.int8 and x.ndim == 2:
+            from ..ops.gmm import dense_matmul_quant
+
+            y = dense_matmul_quant(x, q, None)
+            return y * scale.astype(y.dtype)
         return (x @ q.astype(x.dtype)) * scale.astype(x.dtype)
     return x @ w
 
@@ -254,16 +270,18 @@ def _append_decode_kv(
     return k_cache_l, v_cache_l
 
 
-def _mlp(cfg: LlamaConfig, lp: dict, x: jax.Array) -> jax.Array:
+def _mlp(cfg: LlamaConfig, lp: dict, x: jax.Array,
+         impl: str = "xla") -> jax.Array:
     if cfg.num_experts:
         logits = (x @ lp["router"]).astype(jnp.float32)
         ids, wts = routing_renormalize(logits, cfg.top_k)
         e, h, _, i_loc = lp["w13"].shape
         w13 = lp["w13"].reshape(e, h, 2 * i_loc)
         return fused_moe(x, w13, lp["w2"], ids, wts).astype(x.dtype)
-    gate = _mm(x, lp["w_gate"])
-    up = _mm(x, lp["w_up"])
-    return _mm(silu_and_mul(jnp.concatenate([gate, up], axis=-1)), lp["w2"])
+    gate = _mm(x, lp["w_gate"], impl)
+    up = _mm(x, lp["w_up"], impl)
+    return _mm(silu_and_mul(jnp.concatenate([gate, up], axis=-1)),
+               lp["w2"], impl)
 
 
 def _index_layer(v, l: int):
@@ -357,13 +375,14 @@ def decode_step(
     entry0 = page_table[b_idx, positions // page_size]  # [B]
     inject = append_mode == "inject"
     knew_all, vnew_all = [], []
+    gimpl = cfg.decode_gemm_impl
     for l in range(cfg.num_layers):
         lp = {k: _index_layer(params[k], l) for k in _layer_keys(cfg)}
         h_in = x
         x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
-        q = _mm(x, lp["wq"]).reshape(batch, hq, d)
-        k = _mm(x, lp["wk"]).reshape(batch, hkv, d)
-        v = _mm(x, lp["wv"]).reshape(batch, hkv, d)
+        q = _mm(x, lp["wq"], gimpl).reshape(batch, hq, d)
+        k = _mm(x, lp["wk"], gimpl).reshape(batch, hkv, d)
+        v = _mm(x, lp["wv"], gimpl).reshape(batch, hkv, d)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
         k2, v2 = k.reshape(batch, hkv * d), v.reshape(batch, hkv * d)
@@ -396,10 +415,10 @@ def decode_step(
             inject_kv=(k2, v2) if inject else None,
             interpret=interpret,
         )
-        x = h_in + _mm(attn.reshape(batch, hq * d), lp["wo"])
+        x = h_in + _mm(attn.reshape(batch, hq * d), lp["wo"], gimpl)
         h_in = x
         x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
-        x = h_in + _mlp(cfg, lp, x).astype(x.dtype)
+        x = h_in + _mlp(cfg, lp, x, gimpl).astype(x.dtype)
 
     if inject:
         # one batched scatter: rows (l, b) -> flat page row entry0[b] +
@@ -416,7 +435,7 @@ def decode_step(
         kv_flat = kv_flat.at[rows_idx, :, off_idx, :].set(upd)
 
     x = rmsnorm(x, params["final_norm"], eps=cfg.rms_eps)
-    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"], gimpl).astype(jnp.float32)
     return logits, kv_flat.reshape(kv_caches.shape)
 
 

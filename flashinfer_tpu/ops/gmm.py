@@ -244,6 +244,77 @@ def _grouped_matmul_quant(
     return y_padded[padded_row]
 
 
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def dense_matmul_quant(
+    x: jax.Array,  # [M, K] bf16/f32 (small M: the decode-step case)
+    w_q: jax.Array,  # [K, N] int8 / fp8 / bf16
+    w_scale: jax.Array | None = None,  # [K//128, N//128] block scales
+    *,
+    tm: int | None = None,
+    tn: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Dense x @ dequant(w_q) with the weight streamed at quantized width.
+
+    The degenerate-E=1 `grouped_matmul_quant` pays an extra dead m-tile
+    (group-boundary padding) that RE-STREAMS the whole weight — a 2x
+    HBM-traffic tax at decode's M=64. This wrapper drops the padding: M
+    rounds up to one sublane-aligned tile and the weight streams exactly
+    once. Per-output-channel scales belong OUTSIDE (the [M, N] multiply
+    fuses into the XLA epilogue); pass block scales here only.
+
+    At M=64 / llama-8B MLP shapes this is the decode-step GEMM path: the
+    XLA convert-dot runs at ~0.3-0.5x of the weight-streaming roofline
+    while this kernel sits at it (benchmarks/dense_smallm_ab.py).
+    Reference analog: tinygemm2 / TGV low-latency GEMM
+    (csrc/tgv_gemm.cu) — small-M latency-bound GEMMs with weights
+    streamed raw from HBM.
+    """
+    m, k = x.shape
+    _, n = w_q.shape
+    if tm is None:
+        tm = max(8, min(512, ((m + 7) // 8) * 8))
+    tn = min(tn, n)
+    if n % tn:
+        tn = next(c for c in (512, 256, 128) if n % c == 0)
+    assert n % tn == 0 and k % 128 == 0
+    mp = ((m + tm - 1) // tm) * tm
+    mt, nj = mp // tm, n // tn
+    x_p = jnp.pad(x, ((0, mp - m), (0, 0))) if mp != m else x
+
+    has_scale = w_scale is not None
+    kb, tnb = k // 128, tn // 128
+    if has_scale:
+        s_tiled = jnp.transpose(
+            w_scale.reshape(kb, nj, tnb), (1, 0, 2))[None]  # [1, J, KB, tnb]
+    else:
+        s_tiled = jnp.zeros((1, 1, 8, 128), jnp.float32)
+
+    kernel = functools.partial(_gmm_kernel, has_scale=has_scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mt, nj),
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda i, j, te: (i, 0)),
+            pl.BlockSpec((1, k, tn), lambda i, j, te: (0, 0, j)),
+            (pl.BlockSpec((1, 1, kb, tnb), lambda i, j, te: (0, j, 0, 0))
+             if has_scale else
+             pl.BlockSpec((1, 1, 8, 128), lambda i, j, te: (0, 0, 0, 0))),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, te: (i, j)),
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=resolve_interpret(interpret),
+    )(jnp.zeros((1,), jnp.int32), x_p, w_q[None], s_tiled)
+    return y[:m] if mp != m else y
+
+
 def fused_moe_quant(
     hidden_states: jax.Array,  # [T, H] bf16
     w13_q: jax.Array,  # [E, H, 2I] int8/fp8

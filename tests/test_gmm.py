@@ -80,3 +80,70 @@ def test_fused_moe_quant_matches_dequant_path():
     scale = float(np.max(np.abs(np.asarray(ref)))) + 1e-9
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-2, atol=0.02 * scale)
+
+
+@pytest.mark.parametrize("m,k,n,tn", [(5, 128, 256, 256), (64, 256, 512, 256),
+                                      (130, 384, 768, 256)])
+def test_dense_matmul_quant_block_scales(m, k, n, tn):
+    from flashinfer_tpu.ops.gmm import dense_matmul_quant
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    wq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    ws = jnp.asarray(rng.random((k // 128, n // 128)) * 0.02 + 0.01,
+                     jnp.float32)
+    y = dense_matmul_quant(x, wq, ws, tn=tn)
+    wf = wq.astype(jnp.float32) * jnp.repeat(jnp.repeat(ws, 128, 0), 128, 1)
+    ref = x.astype(jnp.float32) @ wf
+    scale = float(np.max(np.abs(np.asarray(ref)))) + 1e-9
+    np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
+                               rtol=5e-2, atol=0.02 * scale)
+
+
+def test_dense_matmul_quant_no_scale_exact():
+    from flashinfer_tpu.ops.gmm import dense_matmul_quant
+
+    rng = np.random.default_rng(1)
+    m, k, n = 16, 128, 256
+    x = jnp.asarray(rng.integers(-4, 5, (m, k)), jnp.bfloat16)
+    wq = jnp.asarray(rng.integers(-8, 9, (k, n)), jnp.int8)
+    y = dense_matmul_quant(x, wq, None, tn=256)
+    # f32 accumulate inside the kernel; the only rounding is the final
+    # bf16 output cast — compare against the identically-cast reference
+    ref = (x.astype(jnp.float32) @ wq.astype(jnp.float32)).astype(
+        jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref, np.float32))
+
+
+def test_decode_gemm_impl_gmm_matches_xla():
+    """llama decode_step with decode_gemm_impl='gmm' must match the XLA
+    convert-dot path on int8 weights (same params, same cache)."""
+    import jax
+
+    from flashinfer_tpu.models.llama import (
+        LlamaConfig, decode_step, init_kv_cache, init_params_quantized,
+    )
+    from dataclasses import replace
+
+    cfg = LlamaConfig.tiny(num_layers=2)
+    params = init_params_quantized(jax.random.PRNGKey(0), cfg,
+                                   weight_dtype=jnp.int8)
+    batch, page_size, pages_per = 4, 16, 3
+    num_pages = batch * pages_per
+    page_table = jnp.arange(num_pages, dtype=jnp.int32).reshape(
+        batch, pages_per)
+    tokens = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    positions = jnp.asarray([0, 5, 9, 17], jnp.int32)
+    kv_lens = positions + 1
+
+    outs = {}
+    for impl in ("xla", "gmm"):
+        c = replace(cfg, decode_gemm_impl=impl)
+        kv = init_kv_cache(c, num_pages, page_size)
+        logits, _ = decode_step(params, c, kv, tokens, positions,
+                                page_table, kv_lens, interpret=True)
+        outs[impl] = np.asarray(logits, np.float32)
+    scale = np.max(np.abs(outs["xla"])) + 1e-9
+    np.testing.assert_allclose(outs["gmm"], outs["xla"], rtol=5e-2,
+                               atol=0.03 * scale)
