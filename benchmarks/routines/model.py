@@ -21,6 +21,7 @@ def bench_model_decode(
     page_size: int = 32, fp8_weights: bool = True, kv_dtype: str = "int8",
     append_mode: str = "per_layer", iters: int = 32,
     weight_dtype: str | None = None, gemm_impl: str = "xla",
+    fused_weights: bool = False,
 ) -> dict:
     """Tokens/sec/chip for llama-8B-geometry paged decode.
 
@@ -47,6 +48,10 @@ def bench_model_decode(
                                        weight_dtype=wdt)
     else:
         params = init_params(jax.random.PRNGKey(0), cfg)
+    if fused_weights:
+        from flashinfer_tpu.models.llama import fuse_qkv_mlp
+
+        params = jax.block_until_ready(fuse_qkv_mlp(params, cfg))
 
     pages_per = kv_len // page_size + 1  # room for the tokens being decoded
     num_pages = batch * pages_per
@@ -113,6 +118,7 @@ def bench_model_decode(
         "config": f"{num_layers}L-8B"
                   f"{'-' + (weight_dtype or 'fp8') if fp8_weights else ''}"
                   f"{'-' + gemm_impl if gemm_impl != 'xla' else ''}"
+                  f"{'-fusedw' if fused_weights else ''}"
                   f"-{kv_dtype}kv-{append_mode} b{batch} kv{kv_len}",
         "ms_per_step": round(dt * 1e3, 3),
         "metric": "tokens/s/chip", "value": round(toks, 1),

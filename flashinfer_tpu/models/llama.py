@@ -278,6 +278,8 @@ def _mlp(cfg: LlamaConfig, lp: dict, x: jax.Array,
         e, h, _, i_loc = lp["w13"].shape
         w13 = lp["w13"].reshape(e, h, 2 * i_loc)
         return fused_moe(x, w13, lp["w2"], ids, wts).astype(x.dtype)
+    if "w13d" in lp:  # fused gate‖up (fuse_qkv_mlp): one GEMM
+        return _mm(silu_and_mul(_mm(x, lp["w13d"], impl)), lp["w2"], impl)
     gate = _mm(x, lp["w_gate"], impl)
     up = _mm(x, lp["w_up"], impl)
     return _mm(silu_and_mul(jnp.concatenate([gate, up], axis=-1)),
@@ -291,11 +293,63 @@ def _index_layer(v, l: int):
     return v[l]
 
 
-def _layer_keys(cfg: LlamaConfig) -> tuple[str, ...]:
+def _layer_keys(cfg: LlamaConfig, params: dict | None = None
+                ) -> tuple[str, ...]:
     base = ("wq", "wk", "wv", "wo", "attn_norm", "mlp_norm")
     if cfg.num_experts:
-        return base + ("router", "w13", "w2")
-    return base + ("w_gate", "w_up", "w2")
+        keys = base + ("router", "w13", "w2")
+    else:
+        keys = base + ("w_gate", "w_up", "w2")
+    if params is not None:  # fused-weight layouts (fuse_qkv_mlp)
+        if "wqkv" in params:
+            keys = ("wqkv",) + tuple(
+                k for k in keys if k not in ("wq", "wk", "wv"))
+        if "w13d" in params:
+            keys = tuple(
+                k for k in keys if k not in ("w_gate", "w_up")) + ("w13d",)
+    return keys
+
+
+def fuse_qkv_mlp(params: dict, cfg: LlamaConfig) -> dict:
+    """Merge wq/wk/wv → ``wqkv`` and w_gate/w_up → ``w13d`` (out-channel
+    concat; per-output-channel quant scales concat the same way).
+
+    Decode at small M pays a fixed scheduling overhead per GEMM (model
+    attribution: qkvo+lm_head+norms ~4.1 ms of a 20.8 ms step vs a ~2 ms
+    DMA floor); fusing drops 5 GEMMs/layer to 3. Works for both plain and
+    quantized ``(q, scale)`` params. NOT for the TP-sharded paths — the
+    megatron column split must split q/k/v (gate/up) separately."""
+    def cat(ws):
+        if isinstance(ws[0], tuple):
+            return (jnp.concatenate([w[0] for w in ws], axis=-1),
+                    jnp.concatenate([w[1] for w in ws], axis=-1))
+        return jnp.concatenate(ws, axis=-1)
+
+    out = dict(params)
+    if all(k in out for k in ("wq", "wk", "wv")):
+        out["wqkv"] = cat([out.pop("wq"), out.pop("wk"), out.pop("wv")])
+    if all(k in out for k in ("w_gate", "w_up")):
+        out["w13d"] = cat([out.pop("w_gate"), out.pop("w_up")])
+    return out
+
+
+def _qkv(x: jax.Array, lp: dict, cfg: LlamaConfig, impl: str = "xla"
+         ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """q/k/v projections of [N, H] → ([N, Hq, D], [N, Hkv, D] ×2) for
+    separate or fused (``wqkv``) weights."""
+    d, hq, hkv = cfg.head_dim, cfg.num_qo_heads, cfg.num_kv_heads
+    n = x.shape[0]
+    if "wqkv" in lp:
+        qkv = _mm(x, lp["wqkv"], impl)
+        q = qkv[:, : hq * d]
+        k = qkv[:, hq * d: (hq + hkv) * d]
+        v = qkv[:, (hq + hkv) * d:]
+    else:
+        q = _mm(x, lp["wq"], impl)
+        k = _mm(x, lp["wk"], impl)
+        v = _mm(x, lp["wv"], impl)
+    return (q.reshape(n, hq, d), k.reshape(n, hkv, d),
+            v.reshape(n, hkv, d))
 
 
 @partial(jax.jit,
@@ -376,13 +430,12 @@ def decode_step(
     inject = append_mode == "inject"
     knew_all, vnew_all = [], []
     gimpl = cfg.decode_gemm_impl
+    lkeys = _layer_keys(cfg, params)
     for l in range(cfg.num_layers):
-        lp = {k: _index_layer(params[k], l) for k in _layer_keys(cfg)}
+        lp = {k: _index_layer(params[k], l) for k in lkeys}
         h_in = x
         x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
-        q = _mm(x, lp["wq"], gimpl).reshape(batch, hq, d)
-        k = _mm(x, lp["wk"], gimpl).reshape(batch, hkv, d)
-        v = _mm(x, lp["wv"], gimpl).reshape(batch, hkv, d)
+        q, k, v = _qkv(x, lp, cfg, gimpl)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
         k2, v2 = k.reshape(batch, hkv * d), v.reshape(batch, hkv * d)
@@ -468,15 +521,13 @@ def prefill(
 
     x = params["embed"][token_ids].astype(cfg.dtype)
     d, hq, hkv = cfg.head_dim, cfg.num_qo_heads, cfg.num_kv_heads
-    lp_all = {k: params[k] for k in _layer_keys(cfg)}
+    lkeys = _layer_keys(cfg, params)
 
     for l in range(cfg.num_layers):
-        lp = {k: _index_layer(params[k], l) for k in _layer_keys(cfg)}
+        lp = {k: _index_layer(params[k], l) for k in lkeys}
         h_in = x
         x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
-        q = _mm(x, lp["wq"]).reshape(total_q, hq, d)
-        k = _mm(x, lp["wk"]).reshape(total_q, hkv, d)
-        v = _mm(x, lp["wv"]).reshape(total_q, hkv, d)
+        q, k, v = _qkv(x, lp, cfg)
         q = _rope(q, pos, cfg.rope_theta)
         k = _rope(k, pos, cfg.rope_theta)
         attn, _ = run_prefill(q, k, v, plan, causal=True, interpret=interpret)
@@ -541,15 +592,14 @@ def prefill_with_cache(
 
     x = params["embed"][token_ids].astype(cfg.dtype)
     caches = kv_caches
+    lkeys = _layer_keys(cfg, params)
     for l in range(cfg.num_layers):
-        lp = {k: _index_layer(params[k], l) for k in _layer_keys(cfg)}
+        lp = {k: _index_layer(params[k], l) for k in lkeys}
         h_in = x
         x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
-        q = _rope(_mm(x, lp["wq"]).reshape(total_q, hq, d), pos,
-                  cfg.rope_theta)
-        k = _rope(_mm(x, lp["wk"]).reshape(total_q, hkv, d), pos,
-                  cfg.rope_theta)
-        v = _mm(x, lp["wv"]).reshape(total_q, hkv, d)
+        q, k, v = _qkv(x, lp, cfg)
+        q = _rope(q, pos, cfg.rope_theta)
+        k = _rope(k, pos, cfg.rope_theta)
         rows2 = jnp.stack(
             [to_cache(k.reshape(total_q, hkv * d)),
              to_cache(v.reshape(total_q, hkv * d))], axis=1)
@@ -628,15 +678,14 @@ def prefill_append_with_cache(
 
     x = params["embed"][token_ids].astype(cfg.dtype)
     caches = kv_caches
+    lkeys = _layer_keys(cfg, params)
     for l in range(cfg.num_layers):
-        lp = {k: _index_layer(params[k], l) for k in _layer_keys(cfg)}
+        lp = {k: _index_layer(params[k], l) for k in lkeys}
         h_in = x
         x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
-        q = _rope(_mm(x, lp["wq"]).reshape(total_q, hq, d), pos,
-                  cfg.rope_theta)
-        k = _rope(_mm(x, lp["wk"]).reshape(total_q, hkv, d), pos,
-                  cfg.rope_theta)
-        v = _mm(x, lp["wv"]).reshape(total_q, hkv, d)
+        q, k, v = _qkv(x, lp, cfg)
+        q = _rope(q, pos, cfg.rope_theta)
+        k = _rope(k, pos, cfg.rope_theta)
         rows2 = jnp.stack(
             [to_cache(k.reshape(total_q, hkv * d)),
              to_cache(v.reshape(total_q, hkv * d))], axis=1)

@@ -57,13 +57,22 @@ def moe_finalize(
     topk_weights: jax.Array,  # [T, K]
     num_tokens: int,
 ) -> jax.Array:
-    """Weighted scatter back to token order (reference finalize/unpermute)."""
+    """Weighted combine back to token order (reference finalize/unpermute).
+
+    TPU note: an XLA scatter-add over [T, H] runs ~5x below HBM roofline
+    (measured 720 us vs a 10 us gather on the same 33 MB at t4096/h2048);
+    a GATHER back to assignment order + a dense [T, K, H] weighted
+    reduction is the fast form — every token has exactly K contributions,
+    so no actual scatter is needed."""
     k = topk_weights.shape[1]
-    w_sorted = topk_weights.reshape(-1)[sort_idx]  # [T*K]
-    contrib = y_sorted.astype(jnp.float32) * w_sorted[:, None]
-    out = jnp.zeros((num_tokens, y_sorted.shape[1]), jnp.float32)
-    out = out.at[sort_idx // k].add(contrib)
-    return out
+    tk = sort_idx.shape[0]
+    # inverse permutation via a tiny [T*K] i32 scatter-set
+    inv = jnp.zeros((tk,), jnp.int32).at[sort_idx].set(
+        jnp.arange(tk, dtype=jnp.int32))
+    y_assign = y_sorted[inv].astype(jnp.float32)  # assignment-flat order
+    contrib = y_assign.reshape(num_tokens, k, -1)
+    return jnp.sum(contrib * topk_weights[..., None].astype(jnp.float32),
+                   axis=1)
 
 
 def fused_moe(

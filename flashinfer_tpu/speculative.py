@@ -83,15 +83,22 @@ def verify_tokens(
     lens_rep = jnp.repeat(start_pos, n1)  # committed length only
 
     x = params["embed"][tokens].astype(cfg.dtype)  # [B, n1, H]
+    lkeys = _layer_keys(cfg, params)
     for l in range(cfg.num_layers):
-        lp = {k: _index_layer(params[k], l) for k in _layer_keys(cfg)}
+        lp = {k: _index_layer(params[k], l) for k in lkeys}
         h_in = x
         x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
-        q = _rope(_mm(x, lp["wq"]).reshape(batch, n1, hq, d), pos,
-                  cfg.rope_theta)
-        k = _rope(_mm(x, lp["wk"]).reshape(batch, n1, hkv, d), pos,
-                  cfg.rope_theta)
-        v = _mm(x, lp["wv"]).reshape(batch, n1, hkv, d)
+        if "wqkv" in lp:  # fused projection (fuse_qkv_mlp)
+            qkv = _mm(x, lp["wqkv"])
+            qf = qkv[..., : hq * d]
+            kf = qkv[..., hq * d: (hq + hkv) * d]
+            vf = qkv[..., (hq + hkv) * d:]
+        else:
+            qf, kf, vf = (_mm(x, lp["wq"]), _mm(x, lp["wk"]),
+                          _mm(x, lp["wv"]))
+        q = _rope(qf.reshape(batch, n1, hq, d), pos, cfg.rope_theta)
+        k = _rope(kf.reshape(batch, n1, hkv, d), pos, cfg.rope_theta)
+        v = vf.reshape(batch, n1, hkv, d)
         # optimistic appends: one row per (token i, request) launch
         for i in range(n1):
             entry = page_table[b_idx, pos[:, i] // page_size]

@@ -350,3 +350,36 @@ def test_prefill_with_cache_matches_decode_replay(tiny_model):
 
     np.testing.assert_allclose(
         np.asarray(logits_a), np.asarray(logits_b), rtol=2e-2, atol=2e-2)
+
+
+def test_fused_weights_decode_and_prefill_match(tiny_model):
+    """fuse_qkv_mlp params (wqkv / w13d) must produce identical decode
+    logits and prefill hiddens to the separate-weight layout."""
+    from flashinfer_tpu.models.llama import fuse_qkv_mlp
+
+    cfg, params = tiny_model
+    fused = fuse_qkv_mlp(params, cfg)
+    assert "wqkv" in fused and "w13d" in fused and "wq" not in fused
+
+    batch, page_size, pages_per_req = 2, 16, 4
+    num_pages = batch * pages_per_req
+    page_table = jnp.asarray(
+        np.arange(num_pages, dtype=np.int32).reshape(batch, pages_per_req))
+    tokens = jnp.asarray([3, 7], jnp.int32)
+    positions = jnp.asarray([4, 9], jnp.int32)
+    kv_lens = positions + 1
+
+    outs = {}
+    for name, p in (("sep", params), ("fused", fused)):
+        caches = init_kv_cache(cfg, num_pages, page_size)
+        logits, _ = decode_step(p, cfg, caches, tokens, positions,
+                                page_table, kv_lens)
+        outs[name] = np.asarray(logits, np.float32)
+    np.testing.assert_allclose(outs["fused"], outs["sep"], rtol=2e-2,
+                               atol=2e-2)
+
+    tok = jnp.asarray(np.arange(12) % cfg.vocab_size, jnp.int32)
+    qo = np.asarray([0, 5, 12])
+    h_sep = np.asarray(prefill(params, cfg, tok, qo), np.float32)
+    h_fused = np.asarray(prefill(fused, cfg, tok, qo), np.float32)
+    np.testing.assert_allclose(h_fused, h_sep, rtol=2e-2, atol=2e-2)
