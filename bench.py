@@ -80,6 +80,37 @@ def main() -> None:
         return r
 
     _extra("gemm_bf16_tflops", _probe_gemm)
+
+    def _probe_stream():
+        # raw HBM stream (read+write) — the pool's chips vary in HBM
+        # speed INDEPENDENTLY of MXU speed (memory: 2026-08-18 draw had
+        # 241 TF/s MXU but 577 GB/s stream vs ~700+ on good v5e draws);
+        # recording it lets a reader normalize the headline for the draw
+        import functools
+        import numpy as np
+
+        x = jax.numpy.ones((512 * 1024 * 1024 // 2,), jax.numpy.bfloat16)
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(x, n):
+            def body(i, v):  # iteration-dependent operand: defeat hoisting
+                return v + jax.numpy.bfloat16(1e-9) * i.astype(
+                    jax.numpy.bfloat16)
+            return jax.lax.fori_loop(0, n, body, x)
+
+        def timed(n):
+            best = float("inf")
+            for _ in range(3):
+                _ = np.asarray(loop(x, n)[0])
+                t0 = time.perf_counter()
+                _ = np.asarray(loop(x, n)[0])
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        d = (timed(9) - timed(1)) / 8
+        return {"value": round(2 * x.nbytes / d / 1e9, 1), "unit": "GB/s"}
+
+    _extra("hbm_stream_gbs", _probe_stream)
     _extra("prefill_attention_tflops", bench_prefill_attention)
     _extra("mla_decode_bw", bench_mla_decode)
     _extra("gemm_fp8_tflops", bench_mm_fp8_groupwise)

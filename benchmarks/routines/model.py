@@ -264,18 +264,23 @@ def bench_prefix_cache_ttft(
     def timed(tokens, prefix_len):
         n = int(tokens.shape[0])
 
+        # params MUST be an explicit jit arg — closure constants are
+        # embedded in the HLO and shipped to the remote compiler (4.5 GB
+        # payload hangs the axon tunnel; see bench_loop docstring). The
+        # page table stays a closure constant: it is host-consumed by the
+        # prefill planner (and is tiny).
         @jax.jit
-        def fn(tokens, caches):
+        def fn(params, tokens, caches):
             return prefill_append_with_cache(
                 params, cfg, caches, tokens, np.asarray([0, n], np.int64),
                 table, np.asarray([prefix_len], np.int64))
 
-        h, c = fn(tokens, caches)  # compile + warm
+        h, c = fn(params, tokens, caches)  # compile + warm
         jax.block_until_ready(h)
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
-            h, c = fn(tokens, caches)
+            h, c = fn(params, tokens, caches)
             jax.block_until_ready(h)
             best = min(best, time.perf_counter() - t0)
         return best

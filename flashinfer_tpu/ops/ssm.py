@@ -165,16 +165,33 @@ def _delta_rule_scan(
     s0: jax.Array,  # [B, H, K, V] f32
     scale: float,
     seg_start: jax.Array | None,  # [B, T] bool: True resets state (varlen packing)
-) -> tuple[jax.Array, jax.Array]:
+    *,
+    init_pool: jax.Array | None = None,  # [S, H, K, V]: per-seq reset state
+    seg_idx: jax.Array | None = None,  # [T] i32 sequence of each token
+    num_finals: int | None = None,  # collect [num_finals, H, K, V] end states
+) -> tuple[jax.Array, jax.Array, jax.Array | None]:
     """Core recurrence shared by GDN (scalar gate) and KDA (vector gate):
       S_t = decay_t ⊙ S_{t-1};  S_t += β_t k_t ⊗ (v_t − S_tᵀ k_t);  o_t = (q_t·S_t)·scale
+
+    Packed-varlen extensions (both need ``seg_idx``; batch must be 1, the
+    packed layout): ``init_pool`` seeds each sequence's state at its reset
+    boundary (reference fla ``initial_state`` semantics), and
+    ``num_finals`` captures every sequence's end state by overwriting
+    ``finals[seg_idx_t]`` after each step — segments are contiguous, so
+    the surviving write IS the final state.
     """
     vector_gate = g.ndim == 4
 
-    def step(s, t):
-        q_t, k_t, v_t, g_t, b_t, reset = t
+    def step(carry, t):
+        s, finals = carry
+        q_t, k_t, v_t, g_t, b_t, reset, sid = t
         if seg_start is not None:
-            s = jnp.where(reset[:, None, None, None], 0.0, s)
+            s_reset = (
+                init_pool[sid][None]
+                if init_pool is not None
+                else jnp.zeros_like(s)
+            )
+            s = jnp.where(reset[:, None, None, None], s_reset, s)
         decay = jnp.exp(g_t)
         if vector_gate:
             s = s * decay[..., None]  # [B,H,K,1] broadcast over V
@@ -184,7 +201,10 @@ def _delta_rule_scan(
         err = (v_t - pred) * b_t[..., None]
         s = s + k_t[..., None] * err[..., None, :]  # k ⊗ err
         o_t = jnp.einsum("bhkv,bhk->bhv", s, q_t) * scale
-        return s, o_t
+        if finals is not None:
+            finals = jax.lax.dynamic_update_index_in_dim(
+                finals, s[0], sid, 0)
+        return (s, finals), o_t
 
     t_axis = lambda a: jnp.moveaxis(a, 1, 0)
     resets = (
@@ -192,10 +212,21 @@ def _delta_rule_scan(
         if seg_start is not None
         else jnp.zeros((q.shape[1], q.shape[0]), bool)
     )
-    s_final, os = jax.lax.scan(
-        step, s0, (t_axis(q), t_axis(k), t_axis(v), t_axis(g), t_axis(beta), resets)
+    sids = (
+        seg_idx.astype(jnp.int32)
+        if seg_idx is not None
+        else jnp.zeros((q.shape[1],), jnp.int32)
     )
-    return jnp.moveaxis(os, 0, 1), s_final
+    finals0 = (
+        jnp.zeros((num_finals,) + s0.shape[1:], s0.dtype)
+        if num_finals is not None else None
+    )
+    (s_final, finals), os = jax.lax.scan(
+        step, (s0, finals0),
+        (t_axis(q), t_axis(k), t_axis(v), t_axis(g), t_axis(beta), resets,
+         sids),
+    )
+    return jnp.moveaxis(os, 0, 1), s_final, finals
 
 
 def _delta_rule_chunked(
@@ -465,51 +496,47 @@ def chunk_gated_delta_rule(
         )
         seg_start = jnp.isin(pos, cu_seqlens[:-1])[None]
 
+    init_pool = None
     if initial_state is not None:
         init = initial_state.astype(jnp.float32)
         if state_indices is not None:
             init = init[state_indices]
         if cu_seqlens is not None:
-            # scan resets to zero at boundaries; fold per-seq init in by
-            # seeding s0 with seq 0's state and adding the rest at resets —
-            # v1 supports per-seq init only through pre-seeding seq starts.
+            # per-sequence init: seed s0 with seq 0's state, later seqs
+            # seed at their reset boundary from the pool inside the scan
+            init_pool = init
             s0 = init[0][None]
-            if init.shape[0] > 1:
-                raise NotImplementedError(
-                    "per-sequence initial_state with packed cu_seqlens: "
-                    "split the batch (one scan per state) in v1"
-                )
         else:
             s0 = init
     else:
         s0 = jnp.zeros((b, h, dk, dv), jnp.float32)
 
+    num_seqs = int(cu_seqlens.shape[0]) - 1 if cu_seqlens is not None \
+        else None
+
     # chunk-parallel MXU path for dense scalar-gate prefill (the scan
     # stays for varlen packing and vector gates — see _delta_rule_chunked)
     chunk = 64
+    finals = None
     if (cu_seqlens is None and gf.ndim == 3 and t >= 2 * chunk
             and t % chunk == 0):
         out, s_final = _delta_rule_chunked(
             qf, kf, vf, gf, bf, s0, scale, chunk=chunk)
     else:
-        out, s_final = _delta_rule_scan(
-            qf, kf, vf, gf, bf, s0, scale, seg_start)
+        out, s_final, finals = _delta_rule_scan(
+            qf, kf, vf, gf, bf, s0, scale, seg_start,
+            init_pool=init_pool, seg_idx=seg_of_token,
+            num_finals=(num_seqs if (output_final_state
+                                     and cu_seqlens is not None) else None))
     out = out.astype(v.dtype)
 
-    if cu_seqlens is not None and output_final_state:
-        # final state per sequence = state at its last token; recover by
-        # re-running boundaries is wasteful — instead gather from the scan:
-        # v1 returns the end-of-scan state for the LAST sequence and zeros
-        # elsewhere only when num_seqs == 1; multi-seq uses per-seq scan.
-        num_seqs = cu_seqlens.shape[0] - 1
-        if num_seqs != 1:
-            raise NotImplementedError(
-                "output_final_state with >1 packed sequences in v1"
-            )
     if packed:
         out = out[0]
     if output_final_state:
-        return out, s_final
+        # packed varlen: [num_seqs, H, K, V] per-sequence end states
+        # (reference fla chunk_gated_delta_rule return contract); dense:
+        # the [B, H, K, V] carry
+        return out, (finals if finals is not None else s_final)
     return out
 
 
@@ -610,7 +637,7 @@ def recurrent_kda(
             scale, chunk=chunk,
         )
     else:
-        out, s_final = _delta_rule_scan(
+        out, s_final, _ = _delta_rule_scan(
             qf, kf, v.astype(jnp.float32), gf, bf, s0, scale, seg_start
         )
     out = out.astype(v.dtype)

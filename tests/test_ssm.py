@@ -216,7 +216,7 @@ def test_chunked_delta_rule_matches_scan():
     s0 = jnp.asarray(rng.standard_normal((b, h, dk, dv)) * 0.1, jnp.float32)
     scale = 1.0 / np.sqrt(dk)
 
-    o_ref, s_ref = _delta_rule_scan(q, k, v, g, beta, s0, scale, None)
+    o_ref, s_ref, _ = _delta_rule_scan(q, k, v, g, beta, s0, scale, None)
     o_chk, s_chk = _delta_rule_chunked(q, k, v, g, beta, s0, scale,
                                        chunk=64)
     np.testing.assert_allclose(np.asarray(o_chk), np.asarray(o_ref),
@@ -250,7 +250,7 @@ def test_chunked_vector_gate_matches_scan():
     s0 = jnp.asarray(rng.standard_normal((b, h, dk, dv)) * 0.1, jnp.float32)
     scale = 1.0 / np.sqrt(dk)
 
-    o_ref, s_ref = _delta_rule_scan(q, k, v, g, beta, s0, scale, None)
+    o_ref, s_ref, _ = _delta_rule_scan(q, k, v, g, beta, s0, scale, None)
     o_chk, s_chk = _delta_rule_chunked_vector(q, k, v, g, beta, s0, scale,
                                               chunk=64)
     assert np.isfinite(np.asarray(o_chk)).all()
@@ -281,3 +281,66 @@ def test_recurrent_kda_chunked_dispatch_matches_scan():
     np.testing.assert_allclose(
         np.asarray(out_chunked[:, :127]), np.asarray(out_scan),
         rtol=2e-3, atol=2e-3)
+
+
+def test_chunk_gated_delta_rule_varlen_init_and_finals():
+    """Packed varlen with PER-SEQUENCE initial states and per-sequence
+    final-state collection (reference fla contract; was v1
+    NotImplementedError)."""
+    lens = [4, 6, 3]
+    h, dk, dv = 2, 8, 8
+    total = sum(lens)
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((total, h, dk)).astype(np.float32)
+    k = rng.standard_normal((total, h, dk)).astype(np.float32)
+    v = rng.standard_normal((total, h, dv)).astype(np.float32)
+    g = -np.abs(rng.standard_normal((total, h))).astype(np.float32) * 0.1
+    beta = rng.uniform(0.1, 0.9, (total, h)).astype(np.float32)
+    cu = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    init = rng.standard_normal((len(lens), h, dk, dv)).astype(np.float32)
+    scale = 1.0 / np.sqrt(dk)
+
+    out, finals = chunk_gated_delta_rule(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(g),
+        jnp.asarray(beta), cu_seqlens=jnp.asarray(cu),
+        initial_state=jnp.asarray(init), output_final_state=True,
+    )
+    assert finals.shape == (len(lens), h, dk, dv)
+    for i, (s, e) in enumerate(zip(cu[:-1], cu[1:])):
+        ref_o, ref_s = _np_delta_rule(
+            q[None, s:e], k[None, s:e], v[None, s:e], g[None, s:e],
+            beta[None, s:e], init[None, i], scale)
+        np.testing.assert_allclose(
+            np.asarray(out[s:e]), ref_o[0], rtol=3e-4, atol=3e-4,
+            err_msg=f"seq {i} out")
+        np.testing.assert_allclose(
+            np.asarray(finals[i]), ref_s[0], rtol=3e-4, atol=3e-4,
+            err_msg=f"seq {i} final state")
+
+
+def test_chunk_gated_delta_rule_varlen_finals_no_init():
+    """Final-state collection works with zero initial states too."""
+    lens = [3, 5]
+    h, dk, dv = 1, 8, 8
+    total = sum(lens)
+    rng = np.random.default_rng(6)
+    q = rng.standard_normal((total, h, dk)).astype(np.float32)
+    k = rng.standard_normal((total, h, dk)).astype(np.float32)
+    v = rng.standard_normal((total, h, dv)).astype(np.float32)
+    g = -np.abs(rng.standard_normal((total, h))).astype(np.float32) * 0.1
+    beta = rng.uniform(0.1, 0.9, (total, h)).astype(np.float32)
+    cu = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    scale = 1.0 / np.sqrt(dk)
+
+    out, finals = chunk_gated_delta_rule(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(g),
+        jnp.asarray(beta), cu_seqlens=jnp.asarray(cu),
+        output_final_state=True,
+    )
+    for i, (s, e) in enumerate(zip(cu[:-1], cu[1:])):
+        _, ref_s = _np_delta_rule(
+            q[None, s:e], k[None, s:e], v[None, s:e], g[None, s:e],
+            beta[None, s:e], np.zeros((1, h, dk, dv), np.float32), scale)
+        np.testing.assert_allclose(
+            np.asarray(finals[i]), ref_s[0], rtol=3e-4, atol=3e-4,
+            err_msg=f"seq {i}")
