@@ -87,6 +87,7 @@ from .ops.topk import (  # noqa: F401
     topk_varlen,
 )
 from .ops.ssm import (  # noqa: F401
+    checkpointing_ssu,
     chunk_gated_delta_rule,
     gdn_decode,
     recurrent_kda,

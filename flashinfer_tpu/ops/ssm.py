@@ -147,6 +147,203 @@ def selective_state_update(
 
 
 # ---------------------------------------------------------------------------
+# Checkpointing SSU (MTP replay)
+# ---------------------------------------------------------------------------
+
+
+def checkpointing_ssu(
+    state: jax.Array,  # [cache, H, dim, dstate] committed checkpoint state
+    x: jax.Array,  # [B, T, H, dim] new (speculative) token inputs
+    dt: jax.Array,  # [B, T, H] or [B, T, H, dim] (tied across dim)
+    A: jax.Array,  # [H, dim, dstate]
+    B: jax.Array,  # [B, T, G, dstate]
+    C: jax.Array,  # [B, T, G, dstate]
+    x_cache: jax.Array,  # [cache, H, R, dim] ring of cached x
+    B_cache: jax.Array,  # [cache, G, R, dstate] ring of cached B
+    dt_cache: jax.Array,  # [cache, H, R] f32 ring of PROCESSED dt
+    ring_start: jax.Array,  # [cache] i32: oldest live ring row per slot
+    prev_num_accepted_tokens: jax.Array,  # [cache] i32: old tokens to replay
+    D: jax.Array | None = None,  # [H, dim]
+    z: jax.Array | None = None,  # [B, T, H, dim]
+    dt_bias: jax.Array | None = None,  # [H] or [H, dim] (tied)
+    dt_softplus: bool = False,
+    state_batch_indices: jax.Array | None = None,  # [B] batch -> cache slot
+    pad_slot_id: int = -1,
+    state_scale: jax.Array | None = None,  # [cache, H, dim] f32 (int8 state)
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array,
+           jax.Array | None]:
+    """Checkpointing selective-state-update with MTP replay.
+
+    Capability parity with the reference's
+    `flashinfer/mamba/checkpointing_ssu.py:226` (kernel
+    `csrc/checkpointing_ssu.cu:612`): the state cache holds a COMMITTED
+    checkpoint; speculative (multi-token-prediction) steps never write it.
+    Each call, per cache slot:
+
+      1. **Replay**: the `prev_num_accepted_tokens[slot]` oldest live ring
+         rows — the tokens the verifier accepted from the previous
+         speculative round — are re-applied to the checkpoint state, which
+         is committed (returned). Replay uses the *processed* dt stored in
+         `dt_cache` (decays are recomputed; prefix sums are not
+         ring-shift-invariant, so none are cached).
+      2. **Speculate**: the `T` new tokens are processed from the replayed
+         state to produce `out`, and their (x, B, dt') are written into the
+         ring at rows `(ring_start + pnat + i) mod R` so the next call can
+         replay whichever prefix gets accepted. The new state they imply is
+         NOT committed.
+
+    The logical replay window is `R - T` (same flush rule as the
+    reference: callers must flush once `pnat + 2T > R`).
+
+    TPU re-design: one `lax.scan` over the `R + T` ring+new token axis with
+    per-slot validity masks (replay rows gathered by a mod-R index vector,
+    so arbitrary `ring_start`/`pnat` combinations ride one compiled
+    program); the state stays in the scan carry on-chip. Quantized (int8)
+    state is decoded via `state_scale` on entry and re-quantized
+    per-(slot, head, dim) on commit, mirroring the reference's
+    QUANT_MAX=127 contract.
+
+    Functional contract (vs the reference's in-place mutation): returns
+    ``(out, new_state, new_x_cache, new_B_cache, new_dt_cache,
+    new_ring_start, new_state_scale)``; donate the cache arguments under
+    jit for in-place updates. `new_ring_start = (ring_start + pnat) % R` —
+    the host-side bookkeeping the reference leaves to the caller is folded
+    into the return values.
+    """
+    cache, nheads, dim, dstate = state.shape
+    batch, T = x.shape[0], x.shape[1]
+    ngroups = B.shape[2]
+    R = x_cache.shape[2]
+    heads_per_group = nheads // ngroups
+    if dt.ndim == 4:  # tie_hdim: dt is per-head, broadcast across dim
+        dt = dt[..., 0]
+
+    idx = (
+        state_batch_indices
+        if state_batch_indices is not None
+        else jnp.arange(batch, dtype=jnp.int32)
+    )
+    valid = idx != pad_slot_id
+    safe = jnp.where(valid, idx, 0)
+
+    # processed dt for the NEW tokens
+    dtf = dt.astype(jnp.float32)  # [B, T, H]
+    if dt_bias is not None:
+        bias = dt_bias.astype(jnp.float32)
+        bias = bias[:, 0] if bias.ndim == 2 else bias  # tied across dim
+        dtf = dtf + bias[None, None]
+    if dt_softplus:
+        dtf = jax.nn.softplus(dtf)
+
+    Af = A.astype(jnp.float32)  # [H, dim, ds]
+    s0 = state[safe].astype(jnp.float32)  # [B, H, dim, ds]
+    if state_scale is not None:
+        s0 = s0 * state_scale[safe][..., None]
+
+    # --- gather the replay window from the ring --------------------------
+    pnat = prev_num_accepted_tokens[safe]  # [B]
+    start = ring_start[safe]  # [B]
+    offs = jnp.arange(R, dtype=jnp.int32)  # replay window offsets
+    rows = (start[:, None] + offs[None]) % R  # [B, R]
+    rep_mask = offs[None] < pnat[:, None]  # [B, R]
+    bidx = jnp.arange(batch)[:, None]
+    xr = x_cache[safe][bidx, :, rows].astype(jnp.float32)  # [B, R, H, dim]
+    br = B_cache[safe][bidx, :, rows].astype(jnp.float32)  # [B, R, G, ds]
+    dtr = dt_cache[safe][bidx, :, rows].astype(jnp.float32)  # [B, R, H]
+
+    def _apply(s, x_t, b_t, dt_t, live):
+        # s: [B,H,dim,ds]; x_t: [B,H,dim]; b_t: [B,H,ds]; dt_t: [B,H]
+        da = jnp.exp(dt_t[..., None, None] * Af[None])  # [B,H,dim,ds]
+        dbx = (dt_t[..., None] * x_t)[..., None] * b_t[:, :, None, :]
+        s_new = s * da + dbx
+        return jnp.where(live[:, None, None, None], s_new, s)
+
+    def rep_step(s, t):
+        x_t, b_t, dt_t, live = t
+        b_t = jnp.repeat(b_t, heads_per_group, axis=1)  # [B,H,ds]
+        return _apply(s, x_t, b_t, dt_t, live), None
+
+    s_replayed, _ = jax.lax.scan(
+        rep_step,
+        s0,
+        (
+            jnp.moveaxis(xr, 1, 0),
+            jnp.moveaxis(br, 1, 0),
+            jnp.moveaxis(dtr, 1, 0),
+            jnp.moveaxis(rep_mask, 1, 0),
+        ),
+    )
+
+    # --- speculate over the T new tokens (not committed) -----------------
+    xf = x.astype(jnp.float32)
+    Bg = jnp.repeat(B.astype(jnp.float32), heads_per_group, axis=2)
+    Cg = jnp.repeat(C.astype(jnp.float32), heads_per_group, axis=2)
+
+    def new_step(s, t):
+        x_t, b_t, c_t, dt_t = t
+        s_new = _apply(s, x_t, b_t, dt_t, jnp.ones((batch,), bool))
+        y = jnp.einsum("bhds,bhs->bhd", s_new, c_t)
+        return s_new, y
+
+    _, ys = jax.lax.scan(
+        new_step,
+        s_replayed,
+        (
+            jnp.moveaxis(xf, 1, 0),
+            jnp.moveaxis(Bg, 1, 0),
+            jnp.moveaxis(Cg, 1, 0),
+            jnp.moveaxis(dtf, 1, 0),
+        ),
+    )
+    y = jnp.moveaxis(ys, 0, 1)  # [B,T,H,dim]
+    if D is not None:
+        y = y + D.astype(jnp.float32)[None, None] * xf
+    if z is not None:
+        zf = z.astype(jnp.float32)
+        y = y * (zf * jax.nn.sigmoid(zf))
+    out = y.astype(x.dtype)
+
+    # --- commit: replayed state + ring writes + advanced ring head -------
+    if state_scale is not None:
+        amax = jnp.max(jnp.abs(s_replayed), axis=-1)  # [B,H,dim]
+        qmax = 127.0 if state.dtype == jnp.int8 else 448.0
+        new_scale_rows = jnp.maximum(amax / qmax, 1e-12)
+        s_commit = jnp.clip(
+            jnp.round(s_replayed / new_scale_rows[..., None]), -qmax, qmax
+        )
+        new_state_scale = state_scale.at[safe].set(
+            jnp.where(valid[:, None, None], new_scale_rows, state_scale[safe])
+        )
+    else:
+        s_commit = s_replayed
+        new_state_scale = None
+    keep = state[safe].astype(jnp.float32)
+    new_state = state.at[safe].set(
+        jnp.where(valid[:, None, None, None], s_commit, keep).astype(state.dtype)
+    )
+
+    new_start = jnp.where(valid, (start + pnat) % R, ring_start[safe])
+    new_ring_start = ring_start.at[safe].set(new_start.astype(ring_start.dtype))
+    woffs = jnp.arange(T, dtype=jnp.int32)
+    wrows = ((start + pnat)[:, None] + woffs[None]) % R  # [B, T]
+    wb = jnp.where(valid, safe, 0)
+
+    def _ring_set(ring, vals):
+        # ring: [cache, H', R, d']; vals: [B, T, H', d'] — scatter new rows
+        cur = ring[wb][bidx, :, wrows]  # [B, T, H', d']
+        upd = jnp.where(valid[:, None, None, None], vals.astype(ring.dtype), cur)
+        return ring.at[wb[:, None], :, wrows].set(upd)
+
+    new_x_cache = _ring_set(x_cache, x)
+    new_B_cache = _ring_set(B_cache, B)
+    dt_vals = dtf[..., None]  # [B, T, H, 1]
+    new_dt_cache = _ring_set(dt_cache[..., None], dt_vals)[..., 0]
+
+    return (out, new_state, new_x_cache, new_B_cache, new_dt_cache,
+            new_ring_start, new_state_scale)
+
+
+# ---------------------------------------------------------------------------
 # Gated delta rule (GDN / Qwen3-Next) and KDA (Kimi)
 # ---------------------------------------------------------------------------
 

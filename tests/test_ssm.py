@@ -344,3 +344,135 @@ def test_chunk_gated_delta_rule_varlen_finals_no_init():
         np.testing.assert_allclose(
             np.asarray(finals[i]), ref_s[0], rtol=3e-4, atol=3e-4,
             err_msg=f"seq {i}")
+
+
+def _np_ssu_token(state, x, dt_p, A, B, hpg):
+    """Apply ONE processed-dt token: state [B,H,dim,ds], x [B,H,dim],
+    dt_p [B,H], B [B,G,ds]."""
+    dA = np.exp(dt_p[..., None, None] * A[None])
+    Bg = np.repeat(B, hpg, axis=1)
+    dBx = (dt_p[..., None] * x)[..., None] * Bg[:, :, None, :]
+    return state * dA + dBx
+
+
+@pytest.mark.parametrize("with_z", [False, True])
+def test_checkpointing_ssu_replay_rounds(with_z):
+    """Three speculative rounds with partial acceptance: the committed
+    state after each call must equal the ground truth of applying exactly
+    the accepted tokens, and outputs must be computed from that state."""
+    from flashinfer_tpu.ops.ssm import checkpointing_ssu
+
+    b, h, dim, ds, g, T, R = 2, 4, 8, 16, 2, 4, 12
+    hpg = h // g
+    rng = np.random.default_rng(1)
+    state = rng.standard_normal((b, h, dim, ds)).astype(np.float32) * 0.1
+    x_cache = np.zeros((b, h, R, dim), np.float32)
+    B_cache = np.zeros((b, g, R, ds), np.float32)
+    dt_cache = np.zeros((b, h, R), np.float32)
+    ring_start = np.zeros((b,), np.int32)
+    pnat = np.zeros((b,), np.int32)
+    A = -np.abs(rng.standard_normal((h, dim, ds))).astype(np.float32)
+    D = rng.standard_normal((h, dim)).astype(np.float32)
+    dt_bias = rng.standard_normal((h,)).astype(np.float32) * 0.1
+
+    truth = state.copy()  # ground-truth committed state
+    st, xc, bc, dc, rs = (jnp.asarray(state), jnp.asarray(x_cache),
+                          jnp.asarray(B_cache), jnp.asarray(dt_cache),
+                          jnp.asarray(ring_start))
+    prev_xs = prev_bs = prev_dts = None
+    accepts = [np.array([0, 0]), np.array([3, 1]), np.array([2, 4])]
+    for rnd, acc in enumerate(accepts):
+        x = rng.standard_normal((b, T, h, dim)).astype(np.float32) * 0.3
+        dt = rng.standard_normal((b, T, h)).astype(np.float32) * 0.3
+        B = rng.standard_normal((b, T, g, ds)).astype(np.float32) * 0.3
+        C = rng.standard_normal((b, T, g, ds)).astype(np.float32) * 0.3
+        z = (rng.standard_normal((b, T, h, dim)).astype(np.float32)
+             if with_z else None)
+
+        out, st, xc, bc, dc, rs, _ = checkpointing_ssu(
+            st, jnp.asarray(x), jnp.asarray(dt), jnp.asarray(A),
+            jnp.asarray(B), jnp.asarray(C), xc, bc, dc, rs,
+            jnp.asarray(acc.astype(np.int32)),
+            D=jnp.asarray(D),
+            z=None if z is None else jnp.asarray(z),
+            dt_bias=jnp.asarray(dt_bias), dt_softplus=True,
+        )
+
+        # ground truth: replay `acc` accepted tokens from the PREVIOUS round
+        for bi in range(b):
+            for i in range(int(acc[bi])):
+                truth[bi:bi+1] = _np_ssu_token(
+                    truth[bi:bi+1], prev_xs[bi:bi+1, i],
+                    prev_dts[bi:bi+1, i], A, prev_bs[bi:bi+1, i], hpg)
+        np.testing.assert_allclose(np.asarray(st), truth, rtol=2e-4,
+                                   atol=2e-4)
+
+        # expected outputs: run the new tokens from the replayed state
+        dt_p = np.log1p(np.exp(dt + dt_bias[None, None]))
+        s = truth.copy()
+        exp_out = np.zeros_like(x)
+        for i in range(T):
+            s = _np_ssu_token(s, x[:, i], dt_p[:, i], A, B[:, i], hpg)
+            Cg = np.repeat(C[:, i], hpg, axis=1)
+            y = np.einsum("bhds,bhs->bhd", s, Cg) + D[None] * x[:, i]
+            if z is not None:
+                zi = z[:, i]
+                y = y * (zi / (1 + np.exp(-zi)))
+            exp_out[:, i] = y
+        np.testing.assert_allclose(np.asarray(out), exp_out, rtol=2e-4,
+                                   atol=2e-4)
+        prev_xs, prev_bs, prev_dts = x, B, dt_p
+
+    # ring head advanced by the total accepted count
+    np.testing.assert_array_equal(
+        np.asarray(rs), sum(a for a in accepts) % R)
+
+
+def test_checkpointing_ssu_pad_slot_and_quantized_state():
+    from flashinfer_tpu.ops.ssm import checkpointing_ssu
+
+    b, h, dim, ds, g, T, R, cache = 3, 2, 4, 8, 1, 2, 8, 4
+    rng = np.random.default_rng(2)
+    scale = np.full((cache, h, dim), 0.01, np.float32)
+    state_q = rng.integers(-100, 100, (cache, h, dim, ds)).astype(np.int8)
+    x = rng.standard_normal((b, T, h, dim)).astype(np.float32) * 0.3
+    dt = np.abs(rng.standard_normal((b, T, h))).astype(np.float32) * 0.3
+    A = -np.abs(rng.standard_normal((h, dim, ds))).astype(np.float32)
+    B = rng.standard_normal((b, T, g, ds)).astype(np.float32) * 0.3
+    C = rng.standard_normal((b, T, g, ds)).astype(np.float32) * 0.3
+    x_cache = rng.standard_normal((cache, h, R, dim)).astype(np.float32)
+    B_cache = rng.standard_normal((cache, g, R, ds)).astype(np.float32)
+    dt_cache = np.abs(rng.standard_normal((cache, h, R))).astype(np.float32)
+    ring_start = np.array([1, 5, 0, 2], np.int32)
+    pnat = np.array([2, 0, 1, 3], np.int32)
+    slots = np.array([2, -1, 0], np.int32)  # batch 1 is padding
+
+    out, st, xc, bc, dc, rs, sc = checkpointing_ssu(
+        jnp.asarray(state_q), jnp.asarray(x), jnp.asarray(dt),
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(C),
+        jnp.asarray(x_cache), jnp.asarray(B_cache), jnp.asarray(dt_cache),
+        jnp.asarray(ring_start), jnp.asarray(pnat),
+        state_batch_indices=jnp.asarray(slots), pad_slot_id=-1,
+        state_scale=jnp.asarray(scale),
+    )
+    st, xc, bc, dc, rs, sc = map(np.asarray, (st, xc, bc, dc, rs, sc))
+    # untouched slots keep their state, scale, ring position and ring rows
+    for s_i in (1, 3):
+        np.testing.assert_array_equal(st[s_i], state_q[s_i])
+        np.testing.assert_array_equal(sc[s_i], scale[s_i])
+        assert rs[s_i] == ring_start[s_i]
+        np.testing.assert_array_equal(xc[s_i], x_cache[s_i])
+
+    # touched slot 2 (batch 0): replay pnat=1 token from ring row 0
+    hpg = h // g
+    s0 = state_q[2].astype(np.float32)[None] * scale[2][None, ..., None]
+    s1 = _np_ssu_token(s0, x_cache[2][:, 0][None], dt_cache[2][:, 0][None],
+                       A, B_cache[2][:, 0][None], hpg)[0]
+    deq = st[2].astype(np.float32) * sc[2][..., None]
+    np.testing.assert_allclose(deq, s1, atol=np.abs(s1).max() / 60)
+    assert rs[2] == (ring_start[2] + pnat[2]) % R
+    # new tokens written at rows (start+pnat)..+T-1 of slot 2
+    for i in range(T):
+        row = (ring_start[2] + pnat[2] + i) % R
+        np.testing.assert_allclose(xc[2][:, row], x[0, i].swapaxes(0, 0),
+                                   rtol=1e-6)
