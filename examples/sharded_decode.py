@@ -34,7 +34,7 @@ params = init_params(jax.random.key(0), cfg)
 batch, num_pages, page_size = 2 * (n // tp), 32, 16
 caches = init_kv_cache(cfg, num_pages, page_size)
 
-step = make_sharded_decode_fn(cfg, mesh)
+step, _in_specs, _out_specs = make_sharded_decode_fn(cfg, mesh)
 params_s = shard_params(params, cfg, mesh)
 table = jnp.asarray(
     np.arange(num_pages, dtype=np.int32).reshape(batch, -1))

@@ -169,6 +169,18 @@ class MoE:
         if v in (QuantVariant.BF16, QuantVariant.FP8PerTensor):
             self.w13, self.w2 = w13, w2
             self.w13_scale, self.w2_scale = w13_scale, w2_scale
+        elif v == QuantVariant.DeepSeekFp8 and w13_scale is None:
+            # unscaled float weights (bf16/f32): quantize to the block
+            # format here rather than dereferencing a missing scale
+            # (advisor r2: examples/moe_layer.py crashed on this path)
+            if w13.dtype == jnp.float8_e4m3fn:
+                raise ValueError(
+                    "DeepSeekFp8 with fp8 weights requires w13_scale/"
+                    "w2_scale block scales ([E, R/128, C/128])")
+            self.w13, self.w13_scale = _requant_int8_blocks(
+                w13.astype(jnp.float32))
+            self.w2, self.w2_scale = _requant_int8_blocks(
+                w2.astype(jnp.float32))
         elif v == QuantVariant.DeepSeekFp8:
             # exact block-grid correspondence: fold the fp8 block scale
             # into the int8 block scale (one-time, stays 1 byte/weight)

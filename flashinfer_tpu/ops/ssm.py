@@ -214,6 +214,22 @@ def checkpointing_ssu(
     batch, T = x.shape[0], x.shape[1]
     ngroups = B.shape[2]
     R = x_cache.shape[2]
+    # Input contract (reference wrapper checks, advisor r2 low). Note one
+    # documented divergence from the reference checkpoint policy: the
+    # reference requantizes the int8/fp8 state only on window flush; here
+    # the commit requantizes every call, adding one extra quantization
+    # round per MTP step from an already-quantized base (bounded by 1 ULP
+    # of the per-(slot,head,dim) scale per round).
+    if state.dtype in (jnp.int8, jnp.float8_e4m3fn) and state_scale is None:
+        raise ValueError("quantized state dtype requires state_scale")
+    if state_scale is not None and state.dtype not in (
+            jnp.int8, jnp.float8_e4m3fn):
+        raise ValueError("state_scale requires an int8/fp8 state dtype")
+    if nheads % ngroups:
+        raise ValueError(f"nheads={nheads} not divisible by ngroups={ngroups}")
+    if R < 2 * T:
+        raise ValueError(
+            f"ring length R={R} must be >= 2*T={2 * T} (flush rule)")
     heads_per_group = nheads // ngroups
     if dt.ndim == 4:  # tie_hdim: dt is per-head, broadcast across dim
         dt = dt[..., 0]
@@ -224,7 +240,11 @@ def checkpointing_ssu(
         else jnp.arange(batch, dtype=jnp.int32)
     )
     valid = idx != pad_slot_id
-    safe = jnp.where(valid, idx, 0)
+    safe = jnp.where(valid, idx, 0)  # for GATHERS only
+    # Writes route pad lanes OUT OF BOUNDS and scatter with mode='drop':
+    # clamping them to slot 0 would let a pad lane's stale values race a
+    # real lane assigned slot 0 (advisor r2 high: slot-0 state corruption).
+    safe_dst = jnp.where(valid, idx, cache).astype(jnp.int32)
 
     # processed dt for the NEW tokens
     dtf = dt.astype(jnp.float32)  # [B, T, H]
@@ -308,31 +328,31 @@ def checkpointing_ssu(
         amax = jnp.max(jnp.abs(s_replayed), axis=-1)  # [B,H,dim]
         qmax = 127.0 if state.dtype == jnp.int8 else 448.0
         new_scale_rows = jnp.maximum(amax / qmax, 1e-12)
-        s_commit = jnp.clip(
-            jnp.round(s_replayed / new_scale_rows[..., None]), -qmax, qmax
-        )
-        new_state_scale = state_scale.at[safe].set(
-            jnp.where(valid[:, None, None], new_scale_rows, state_scale[safe])
-        )
+        scaled = s_replayed / new_scale_rows[..., None]
+        # int8 commit rounds to the integer grid (reference cvt_rni_sat_s8);
+        # fp8 encode is a plain RN cast — integer-rounding first would zero
+        # every scaled magnitude < 0.5 (advisor r2 medium)
+        if state.dtype == jnp.int8:
+            scaled = jnp.round(scaled)
+        s_commit = jnp.clip(scaled, -qmax, qmax)
+        new_state_scale = state_scale.at[safe_dst].set(
+            new_scale_rows, mode="drop")
     else:
         s_commit = s_replayed
         new_state_scale = None
-    keep = state[safe].astype(jnp.float32)
-    new_state = state.at[safe].set(
-        jnp.where(valid[:, None, None, None], s_commit, keep).astype(state.dtype)
-    )
+    new_state = state.at[safe_dst].set(
+        s_commit.astype(state.dtype), mode="drop")
 
-    new_start = jnp.where(valid, (start + pnat) % R, ring_start[safe])
-    new_ring_start = ring_start.at[safe].set(new_start.astype(ring_start.dtype))
+    new_start = ((start + pnat) % R).astype(ring_start.dtype)
+    new_ring_start = ring_start.at[safe_dst].set(new_start, mode="drop")
     woffs = jnp.arange(T, dtype=jnp.int32)
     wrows = ((start + pnat)[:, None] + woffs[None]) % R  # [B, T]
-    wb = jnp.where(valid, safe, 0)
 
     def _ring_set(ring, vals):
-        # ring: [cache, H', R, d']; vals: [B, T, H', d'] — scatter new rows
-        cur = ring[wb][bidx, :, wrows]  # [B, T, H', d']
-        upd = jnp.where(valid[:, None, None, None], vals.astype(ring.dtype), cur)
-        return ring.at[wb[:, None], :, wrows].set(upd)
+        # ring: [cache, H', R, d']; vals: [B, T, H', d'] — scatter new rows;
+        # pad lanes index out of bounds and drop
+        return ring.at[safe_dst[:, None], :, wrows].set(
+            vals.astype(ring.dtype), mode="drop")
 
     new_x_cache = _ring_set(x_cache, x)
     new_B_cache = _ring_set(B_cache, B)

@@ -476,3 +476,82 @@ def test_checkpointing_ssu_pad_slot_and_quantized_state():
         row = (ring_start[2] + pnat[2] + i) % R
         np.testing.assert_allclose(xc[2][:, row], x[0, i].swapaxes(0, 0),
                                    rtol=1e-6)
+
+    # SLOT 0: a real lane (batch 2) rides slot 0 while a PAD lane (batch 1)
+    # exists — the pad lane must not scatter its stale values into slot 0
+    # (advisor r2 high: pad lanes clamped to slot 0 silently reverted the
+    # real lane's commit). Replay pnat[0]=2 tokens from ring rows 1,2.
+    s0_0 = state_q[0].astype(np.float32)[None] * scale[0][None, ..., None]
+    for r_i in (ring_start[0], ring_start[0] + 1):
+        s0_0 = _np_ssu_token(
+            s0_0, x_cache[0][:, r_i % R][None],
+            dt_cache[0][:, r_i % R][None], A, B_cache[0][:, r_i % R][None],
+            hpg)
+    deq0 = st[0].astype(np.float32) * sc[0][..., None]
+    np.testing.assert_allclose(deq0, s0_0[0], atol=np.abs(s0_0).max() / 60)
+    assert rs[0] == (ring_start[0] + pnat[0]) % R
+    for i in range(T):
+        row = (ring_start[0] + pnat[0] + i) % R
+        np.testing.assert_allclose(xc[0][:, row], x[2, i], rtol=1e-6)
+
+
+def test_checkpointing_ssu_fp8_state_preserves_small_values():
+    """fp8 state commit must RN-cast, not integer-round: scaled magnitudes
+    below 0.5 would otherwise quantize to exactly 0 (advisor r2 medium)."""
+    from flashinfer_tpu.ops.ssm import checkpointing_ssu
+
+    b, h, dim, ds, g, T, R, cache = 1, 2, 4, 8, 1, 2, 8, 2
+    rng = np.random.default_rng(3)
+    # state values spanning several fp8 decades below scale*0.5
+    sf = rng.standard_normal((cache, h, dim, ds)).astype(np.float32) * 0.05
+    scale = np.full((cache, h, dim), 1.0, np.float32)
+    state_q = jnp.asarray(sf, jnp.float8_e4m3fn)
+    x = rng.standard_normal((b, T, h, dim)).astype(np.float32) * 0.1
+    dt = np.abs(rng.standard_normal((b, T, h))).astype(np.float32) * 0.1
+    A = -np.abs(rng.standard_normal((h, dim, ds))).astype(np.float32)
+    B = rng.standard_normal((b, T, g, ds)).astype(np.float32) * 0.1
+    C = rng.standard_normal((b, T, g, ds)).astype(np.float32) * 0.1
+    zeros = np.zeros
+
+    out, st, *_rest, sc = checkpointing_ssu(
+        state_q, jnp.asarray(x), jnp.asarray(dt), jnp.asarray(A),
+        jnp.asarray(B), jnp.asarray(C),
+        jnp.asarray(zeros((cache, h, R, dim), np.float32)),
+        jnp.asarray(zeros((cache, g, R, ds), np.float32)),
+        jnp.asarray(zeros((cache, h, R), np.float32)),
+        jnp.zeros((cache,), jnp.int32), jnp.zeros((cache,), jnp.int32),
+        state_batch_indices=jnp.asarray([0], jnp.int32), pad_slot_id=-1,
+        state_scale=jnp.asarray(scale),
+    )
+    # pnat=0: the committed state is just the (requantized) input state;
+    # RN fp8 encode keeps relative error ~2^-3 even for small magnitudes
+    deq = np.asarray(st[0], np.float32) * np.asarray(sc)[0][..., None]
+    ref = np.asarray(state_q[0], np.float32) * scale[0][..., None]
+    nz = np.abs(ref) > 1e-4
+    assert nz.any()
+    np.testing.assert_allclose(deq[nz], ref[nz], rtol=0.14)
+    # integer rounding would have zeroed every |scaled| < 0.5 element
+    small = nz & (np.abs(ref / np.asarray(sc)[0][..., None]) < 0.4)
+    if small.any():
+        assert np.abs(deq[small]).min() > 0
+
+
+def test_checkpointing_ssu_input_validation():
+    from flashinfer_tpu.ops.ssm import checkpointing_ssu
+
+    h, dim, ds, g, T, R, cache = 2, 4, 8, 1, 2, 8, 2
+    mk = lambda *s: jnp.zeros(s, jnp.float32)
+    args = (mk(cache, h, dim, ds).astype(jnp.int8), mk(1, T, h, dim),
+            mk(1, T, h), mk(h, dim, ds), mk(1, T, g, ds), mk(1, T, g, ds),
+            mk(cache, h, R, dim), mk(cache, g, R, ds), mk(cache, h, R),
+            jnp.zeros((cache,), jnp.int32), jnp.zeros((cache,), jnp.int32))
+    with pytest.raises(ValueError, match="state_scale"):
+        checkpointing_ssu(*args)  # int8 state without scale
+    with pytest.raises(ValueError, match="int8/fp8"):
+        checkpointing_ssu(mk(cache, h, dim, ds), *args[1:],
+                          state_scale=mk(cache, h, dim))
+    with pytest.raises(ValueError, match="ring length"):
+        checkpointing_ssu(
+            mk(cache, h, dim, ds), mk(1, 6, h, dim), mk(1, 6, h),
+            mk(h, dim, ds), mk(1, 6, g, ds), mk(1, 6, g, ds),
+            *args[6:])  # T=6 > R/2
