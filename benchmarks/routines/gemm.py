@@ -25,6 +25,30 @@ def bench_mm_bf16(m: int = 4096, k: int = 4096, n: int = 4096) -> dict:
             "vs_roofline": round(tf / V5E_BF16_TFLOPS, 4)}
 
 
+def bench_mm_int8(m: int = 4096, k: int = 4096, n: int = 4096) -> dict:
+    """Native int8 MXU GEMM (W8A8 serving path): bf16 activations are
+    per-token-quantized in-step, so the measured time is the FULL
+    quantize→int8-matmul→scale-epilogue chain. Roofline = 2× the bf16 MXU
+    rate (the MXU's int8 mode; reference analog: fp8 tensor cores at 2×,
+    gemm_groupwise_sm100.cuh)."""
+    from flashinfer_tpu.ops.gemm import mm_int8, quantize_int8_channels
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    w8, w_s = quantize_int8_channels(
+        jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.float32))
+
+    def step(x, w8, w_s):
+        y = mm_int8(x, w8, b_scale=w_s)
+        return y[:, :k] if n >= k else jnp.pad(y, ((0, 0), (0, k - n)))
+
+    dt = bench_loop(step, a, w8, w_s, iters=48, base_iters=8)
+    tf = 2 * m * k * n / dt / 1e12
+    return {"routine": "mm_int8_w8a8", "ms": round(dt * 1e3, 3),
+            "metric": "TFLOP/s", "value": round(tf, 1),
+            "vs_roofline": round(tf / (2 * V5E_BF16_TFLOPS), 4)}
+
+
 def bench_mm_fp8_groupwise(m: int = 4096, k: int = 4096, n: int = 4096
                            ) -> dict:
     """FP8 groupwise GEMM (DeepGEMM contract) TFLOP/s."""

@@ -57,6 +57,12 @@ class LlamaConfig:
     # roofline, benchmarks/dense_smallm_ab.py). Prefill always uses XLA
     # (M is large there; the MXU, not weight DMA, binds).
     decode_gemm_impl: str = "xla"
+    # prefill GEMM path for quantized weights: "xla" (convert-dot) or
+    # "w8a8" (per-token int8 activations x int8 weights on the MXU's
+    # native 2x int8 mode — prefill M is large, so GEMMs are
+    # compute-bound and the int8 matmul halves their time; decode stays
+    # "xla" because M=batch GEMMs are weight-DMA-bound, measured r3)
+    prefill_gemm_impl: str = "xla"
 
     @classmethod
     def llama3_8b(cls) -> "LlamaConfig":
@@ -212,6 +218,17 @@ def _mm(x: jax.Array, w, impl: str = "xla") -> jax.Array:
     the per-output-channel scale applies outside as an XLA epilogue."""
     if isinstance(w, tuple):
         q, scale = w
+        if impl == "w8a8" and q.dtype == jnp.int8:
+            # native int8 MXU path: activations quantize per token, the
+            # int8xint8->int32 matmul runs at 2x the bf16 MXU rate and
+            # skips the VPU weight upcast entirely (measured 352 vs
+            # 178 TF/s at M=4096; the decode win is the removed convert)
+            from ..ops.gemm import mm_int8
+
+            lead = x.shape[:-1]
+            y = mm_int8(x.reshape(-1, x.shape[-1]), q,
+                        b_scale=scale.reshape(-1), out_dtype=x.dtype)
+            return y.reshape(*lead, -1)
         if impl == "gmm" and q.dtype == jnp.int8 and x.ndim == 2:
             from ..ops.gmm import dense_matmul_quant
 
@@ -522,19 +539,20 @@ def prefill(
     x = params["embed"][token_ids].astype(cfg.dtype)
     d, hq, hkv = cfg.head_dim, cfg.num_qo_heads, cfg.num_kv_heads
     lkeys = _layer_keys(cfg, params)
+    pimpl = cfg.prefill_gemm_impl
 
     for l in range(cfg.num_layers):
         lp = {k: _index_layer(params[k], l) for k in lkeys}
         h_in = x
         x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
-        q, k, v = _qkv(x, lp, cfg)
+        q, k, v = _qkv(x, lp, cfg, pimpl)
         q = _rope(q, pos, cfg.rope_theta)
         k = _rope(k, pos, cfg.rope_theta)
         attn, _ = run_prefill(q, k, v, plan, causal=True, interpret=interpret)
-        x = h_in + _mm(attn.reshape(total_q, hq * d), lp["wo"])
+        x = h_in + _mm(attn.reshape(total_q, hq * d), lp["wo"], pimpl)
         h_in = x
         x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
-        x = h_in + _mlp(cfg, lp, x).astype(x.dtype)
+        x = h_in + _mlp(cfg, lp, x, pimpl).astype(x.dtype)
     return rmsnorm(x, params["final_norm"], eps=cfg.rms_eps)
 
 
@@ -593,11 +611,12 @@ def prefill_with_cache(
     x = params["embed"][token_ids].astype(cfg.dtype)
     caches = kv_caches
     lkeys = _layer_keys(cfg, params)
+    pimpl = cfg.prefill_gemm_impl
     for l in range(cfg.num_layers):
         lp = {k: _index_layer(params[k], l) for k in lkeys}
         h_in = x
         x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
-        q, k, v = _qkv(x, lp, cfg)
+        q, k, v = _qkv(x, lp, cfg, pimpl)
         q = _rope(q, pos, cfg.rope_theta)
         k = _rope(k, pos, cfg.rope_theta)
         rows2 = jnp.stack(
@@ -606,10 +625,10 @@ def prefill_with_cache(
         caches = caches.at[l, page_of, :, slot_of, :].set(rows2)
         attn, _ = run_prefill(q, k, v, plan, causal=True,
                               interpret=interpret)
-        x = h_in + _mm(attn.reshape(total_q, hq * d), lp["wo"])
+        x = h_in + _mm(attn.reshape(total_q, hq * d), lp["wo"], pimpl)
         h_in = x
         x = rmsnorm(x, lp["mlp_norm"], eps=cfg.rms_eps)
-        x = h_in + _mlp(cfg, lp, x).astype(x.dtype)
+        x = h_in + _mlp(cfg, lp, x, pimpl).astype(x.dtype)
     return rmsnorm(x, params["final_norm"], eps=cfg.rms_eps), caches
 
 

