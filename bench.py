@@ -4,15 +4,22 @@ The driver parses the final line ({"metric", "value", "unit",
 "vs_baseline"}); earlier lines land in the recorded tail so prefill/GEMM/
 model regressions are visible per round (VERDICT r1 weak #11).
 
-vs_baseline for the headline = achieved HBM bandwidth / chip peak on the
-paged-decode kernel (the reference's north star is >=90% of roofline,
-BASELINE.md). Extra metrics are skipped when the soft time budget runs
-out so the headline always prints.
+Probe normalization (VERDICT r2 #7/#9): the axon pool's chips vary in
+MXU and HBM speed independently and device_kind always reads "v5 lite",
+so two in-process probes anchor every roofline:
+  - gemm probe  = measured bf16 mm TFLOP/s (MXU speed of the draw)
+  - stream probe = measured HBM read+write GB/s (memory speed of the draw)
+Each metric reports vs_roofline against NOMINAL v5e AND vs_probe against
+the draw's own measured ceiling; the headline's vs_baseline is
+probe-normalized (value / stream probe) with the raw value and both
+denominators recorded alongside.
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import jax
@@ -20,127 +27,150 @@ import jax
 _T0 = time.time()
 _BUDGET_S = 1500.0  # soft budget for the extra metrics
 
-_PEAK_BW = {
-    "v5 lite": 819.0,
-    "v5e": 819.0,
-    "v5p": 2765.0,
-    "v5": 1228.0,
-    "v6 lite": 1640.0,
-    "v6e": 1640.0,
-    "v4": 1228.0,
-}
+V5E_NOMINAL_BW = 819.0
+V5E_NOMINAL_BF16 = 197.0
 
 
-def _peak_bw_gbs() -> float:
-    kind = (getattr(jax.devices()[0], "device_kind", "") or "").lower()
-    for key, bw in _PEAK_BW.items():
-        if key in kind:
-            return bw
-    return 819.0
-
-
-def _extra(name: str, fn) -> None:
+def _extra(name: str, fn) -> dict | None:
     if time.time() - _T0 > _BUDGET_S:
         print(json.dumps({"metric": name, "skipped": "time budget"}))
-        return
+        return None
     try:
         r = fn()
         r["metric"] = name
         print(json.dumps(r), flush=True)
+        return r
     except Exception as e:  # never let an extra metric kill the headline
         print(json.dumps({"metric": name, "error": str(e)[:200]}),
               flush=True)
+        return None
+
+
+def _probe_stream() -> dict:
+    """Raw HBM stream (read+write) of this draw."""
+    import functools
+
+    import numpy as np
+
+    x = jax.numpy.ones((512 * 1024 * 1024 // 2,), jax.numpy.bfloat16)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(x, n):
+        def body(i, v):  # iteration-dependent operand: defeat hoisting
+            return v + jax.numpy.bfloat16(1e-9) * i.astype(
+                jax.numpy.bfloat16)
+        return jax.lax.fori_loop(0, n, body, x)
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(3):
+            _ = np.asarray(loop(x, n)[0])
+            t0 = time.perf_counter()
+            _ = np.asarray(loop(x, n)[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    d = (timed(9) - timed(1)) / 8
+    return {"value": round(2 * x.nbytes / d / 1e9, 1), "unit": "GB/s"}
 
 
 def main() -> None:
-    import sys
-
     sys.path.insert(0, ".")
     from benchmarks.routines.attention import (
         bench_decode_attention, bench_mla_decode, bench_prefill_attention,
     )
     from benchmarks.routines.gemm import (
-        bench_mm_bf16, bench_mm_fp8_groupwise,
+        bench_mm_bf16, bench_mm_fp8_groupwise, bench_mm_int8,
     )
-    from benchmarks.routines.moe import bench_fused_moe
+    from benchmarks.routines.moe import bench_fused_moe, bench_fused_moe_phases
     from benchmarks.routines.model import (
         bench_model_decode, bench_model_mla_moe_decode, bench_model_ttft,
     )
-
-    # chip-class probe FIRST: the axon pool's device_kind always reads
-    # "v5 lite" even when the drawn chip measures v5p-class (368 bf16
-    # TFLOP/s / 2.7 TB/s), so classify by measured matmul throughput and
-    # scale the roofline denominator accordingly.
-    chip_peak_bw = [None]
-
-    def _probe_gemm():
-        r = bench_mm_bf16()
-        if r.get("value", 0) > 260:  # v5e peaks ~197-206; v5p ~370
-            chip_peak_bw[0] = 2765.0
-        return r
-
-    _extra("gemm_bf16_tflops", _probe_gemm)
-
-    def _probe_stream():
-        # raw HBM stream (read+write) — the pool's chips vary in HBM
-        # speed INDEPENDENTLY of MXU speed (memory: 2026-08-18 draw had
-        # 241 TF/s MXU but 577 GB/s stream vs ~700+ on good v5e draws);
-        # recording it lets a reader normalize the headline for the draw
-        import functools
-        import numpy as np
-
-        x = jax.numpy.ones((512 * 1024 * 1024 // 2,), jax.numpy.bfloat16)
-
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def loop(x, n):
-            def body(i, v):  # iteration-dependent operand: defeat hoisting
-                return v + jax.numpy.bfloat16(1e-9) * i.astype(
-                    jax.numpy.bfloat16)
-            return jax.lax.fori_loop(0, n, body, x)
-
-        def timed(n):
-            best = float("inf")
-            for _ in range(3):
-                _ = np.asarray(loop(x, n)[0])
-                t0 = time.perf_counter()
-                _ = np.asarray(loop(x, n)[0])
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        d = (timed(9) - timed(1)) / 8
-        return {"value": round(2 * x.nbytes / d / 1e9, 1), "unit": "GB/s"}
-
-    _extra("hbm_stream_gbs", _probe_stream)
-    _extra("prefill_attention_tflops", bench_prefill_attention)
-    _extra("mla_decode_bw", bench_mla_decode)
-    _extra("gemm_fp8_tflops", bench_mm_fp8_groupwise)
-    _extra("moe_tflops", bench_fused_moe)
     from benchmarks.routines.sampling import bench_top_k_top_p_sampling
+
+    # --- probes first: they anchor every later roofline -----------------
+    g = _extra("gemm_bf16_tflops", bench_mm_bf16)
+    gemm_probe = (g or {}).get("value") or V5E_NOMINAL_BF16
+    s = _extra("hbm_stream_gbs", _probe_stream)
+    stream_probe = (s or {}).get("value") or V5E_NOMINAL_BW
+
+    def with_probe(fn, probe_tf=None, probe_bw=None):
+        def run():
+            r = fn()
+            if probe_tf and "value" in r:
+                r["vs_probe"] = round(r["value"] / probe_tf, 4)
+            if probe_bw and "value" in r:
+                r["vs_probe"] = round(r["value"] / probe_bw, 4)
+            return r
+        return run
+
+    # int8 MXU GEMM: the draw's int8 ceiling is 2x its measured bf16 rate
+    _extra("gemm_int8_tflops", with_probe(bench_mm_int8,
+                                          probe_tf=2 * gemm_probe))
+    _extra("prefill_attention_tflops",
+           with_probe(bench_prefill_attention, probe_tf=gemm_probe))
+    _extra("mla_decode_bw", with_probe(bench_mla_decode,
+                                       probe_bw=stream_probe))
+    _extra("gemm_fp8_tflops", with_probe(bench_mm_fp8_groupwise,
+                                         probe_tf=gemm_probe))
+    _extra("moe_tflops", with_probe(
+        lambda: bench_fused_moe(expert_dtype="w8a8"),
+        probe_tf=2 * gemm_probe))
+    _extra("moe_phase_attribution",
+           lambda: bench_fused_moe_phases(expert_dtype="w8a8"))
     _extra("sampling_tokens_per_s", bench_top_k_top_p_sampling)
+
     # int8 weights are the TPU deployment format (same 8-bit width as the
-    # reference's fp8 serving path; int8->bf16 is a native VPU convert on
-    # v5e while fp8 has no hardware convert — measured +5-7% end-to-end)
-    _extra("model_decode_tokens_per_s",
-           lambda: bench_model_decode(weight_dtype="int8"))
-    _extra("model_ttft_ms", bench_model_ttft)
+    # reference's fp8 serving path); decode GEMMs are weight-DMA-bound so
+    # the step is framed against its HBM ledger (floor_ms at the draw's
+    # measured stream rate)
+    def run_decode():
+        r = bench_model_decode(weight_dtype="int8")
+        if "hbm_gb_per_step" in r and "ms_per_step" in r:
+            floor = r["hbm_gb_per_step"] * 1e3 / stream_probe
+            r["stream_floor_ms"] = round(floor, 2)
+            r["vs_floor"] = round(floor / r["ms_per_step"], 4)
+        return r
+    _extra("model_decode_tokens_per_s", run_decode)
+    _extra("model_ttft_ms", lambda: bench_model_ttft(
+        weight_dtype="int8", gemm_impl="w8a8"))
     _extra("mla_moe_model_tokens_per_s", bench_model_mla_moe_decode)
 
-    # headline LAST: paged-decode attention bandwidth vs HBM roofline.
-    # The chip warms up monotonically across measurements (measured
-    # 723 -> 737 -> 789 GB/s on consecutive in-process repeats): take the
-    # best of several full measurements so the recorded number is the
-    # steady-state one.
+    # multi-device scaling table on the virtual CPU mesh (subprocess so
+    # the TPU tunnel process stays single-platform)
+    def run_scaling():
+        env = {"JAX_PLATFORMS": "cpu",
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+               "FLASHINFER_TPU_NO_PERSISTENT_CACHE": "1",
+               "PATH": "/usr/bin:/bin:/usr/local/bin"}
+        import os
+
+        env = {**os.environ, **env}
+        out = subprocess.run(
+            [sys.executable, "-m", "benchmarks.routines.scaling"],
+            capture_output=True, text=True, timeout=900, env=env, cwd=".")
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        raise RuntimeError(out.stderr[-300:])
+    _extra("decode_scaling", run_scaling)
+
+    # headline LAST: paged-decode attention bandwidth. The chip warms up
+    # monotonically across measurements (723 -> 789 GB/s observed): take
+    # the best of several full measurements.
     best = None
     for _ in range(6):
         r = bench_decode_attention()
         if best is None or r["value"] > best["value"]:
             best = r
-    peak = chip_peak_bw[0] or _peak_bw_gbs()
     print(json.dumps({
         "metric": "paged_decode_attention_bw",
         "value": best["value"],
         "unit": "GB/s",
-        "vs_baseline": round(best["value"] / peak, 4),
+        "vs_baseline": round(best["value"] / stream_probe, 4),
+        "vs_nominal_v5e": round(best["value"] / V5E_NOMINAL_BW, 4),
+        "stream_probe_gbs": stream_probe,
+        "gemm_probe_tflops": gemm_probe,
     }))
 
 

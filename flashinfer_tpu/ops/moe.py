@@ -188,9 +188,16 @@ def fused_moe_w8a8(
     *,
     activation: str = "silu",
     out_dtype=None,
+    impl: str = "pallas",
 ) -> jax.Array:
     """Native-int8 MXU fused MoE: per-token int8 activations ×
     per-channel int8 experts through ``ragged_dot(int8, int8) → int32``.
+
+    ``impl="pallas"`` (default) runs the expert pipeline as two fused
+    Pallas kernels (moe_pallas.py) — gmm1+SiLU+requant never leaves VMEM
+    at more than int8+scale width; ``impl="xla"`` keeps the ragged_dot
+    form (phase-attributed r3: XLA leaves ~3× the GEMM time in unfused
+    epilogue/act/requant passes).
 
     The TPU deployment path for the reference's fp8/fp4 MoE families
     (csrc/trtllm_fused_moe_runner.cu role): expert bytes stream at int8
@@ -202,31 +209,53 @@ def fused_moe_w8a8(
     epilogue; [E, C] scale tables are KBs)."""
     t, h = hidden_states.shape
     e = w13_q.shape[0]
+    k = topk_ids.shape[1]
     out_dtype = out_dtype or hidden_states.dtype
     act_fn = _ACTIVATIONS[activation]
 
-    x_sorted, sort_idx, experts_sorted, _ = moe_permute(
-        hidden_states, topk_ids)
-    group_sizes = jnp.bincount(experts_sorted, length=e).astype(jnp.int32)
-
-    def quant_rows(x):
-        xf = x.astype(jnp.float32)
+    def quant_rows(xf):  # f32 in
         amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
         s = jnp.maximum(amax, 1e-8) / 127.0
         return jnp.round(xf / s).astype(jnp.int8), s
 
-    x8, xs = quant_rows(x_sorted)
-    acc1 = jax.lax.ragged_dot(
-        x8, w13_q, group_sizes, preferred_element_type=jnp.int32)
-    inter = (acc1.astype(jnp.float32) * xs
-             * w13_scale.astype(jnp.float32)[experts_sorted])
-    inter = act_fn(inter).astype(hidden_states.dtype)
+    # Quantize BEFORE the permute: the token gather then moves int8 bytes
+    # (4x less traffic than gathering bf16 rows and quantizing the
+    # duplicated copies — each token is gathered top_k times). Phase
+    # attribution r3: the elementwise glue, not the GEMMs, dominated.
+    x8, xs = quant_rows(hidden_states.astype(jnp.float32))
+    flat_expert = topk_ids.reshape(-1)
+    sort_idx = jnp.argsort(flat_expert)
+    row_token = sort_idx // k
+    experts_sorted = flat_expert[sort_idx]
+    group_sizes = jnp.bincount(experts_sorted, length=e).astype(jnp.int32)
+    x8_sorted = x8[row_token]
+    xs_sorted = xs[row_token]
 
+    if impl == "pallas" and activation in ("silu", "swiglu") \
+            and h % 128 == 0 and w2_q.shape[1] % 128 == 0 \
+            and w2_q.shape[2] % 128 == 0:
+        from .moe_pallas import moe_expert_pipeline_w8a8
+
+        y = moe_expert_pipeline_w8a8(
+            x8_sorted, xs_sorted, group_sizes, w13_q,
+            w13_scale.astype(jnp.float32), w2_q,
+            w2_scale.astype(jnp.float32))
+        out = moe_finalize(y, sort_idx, topk_weights, t)
+        return out.astype(out_dtype)
+
+    acc1 = jax.lax.ragged_dot(
+        x8_sorted, w13_q, group_sizes, preferred_element_type=jnp.int32)
+    # one fused chain from int32 accumulator to int8 gmm2 input: scale
+    # epilogue -> activation -> requantize, no bf16 intermediate
+    inter = (acc1.astype(jnp.float32) * xs_sorted
+             * w13_scale.astype(jnp.float32)[experts_sorted])
+    inter = act_fn(inter)  # stays f32
     i8, is_ = quant_rows(inter)
     acc2 = jax.lax.ragged_dot(
         i8, w2_q, group_sizes, preferred_element_type=jnp.int32)
     y = (acc2.astype(jnp.float32) * is_
-         * w2_scale.astype(jnp.float32)[experts_sorted])
+         * w2_scale.astype(jnp.float32)[experts_sorted]
+         ).astype(jnp.bfloat16)  # halve finalize gather traffic
     out = moe_finalize(y, sort_idx, topk_weights, t)
     return out.astype(out_dtype)
 

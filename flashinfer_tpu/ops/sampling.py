@@ -94,25 +94,69 @@ def _threshold_search(
     return lo
 
 
-def _top_k_threshold(probs: jax.Array, top_k: jax.Array) -> jax.Array:
-    """tau such that the kept set {p >= tau} has >= k elements and is the
-    smallest such binary-search-resolvable set."""
-    top_k = jnp.asarray(top_k, jnp.int32).reshape(-1, 1)
-
-    def keep(tau):
-        return jnp.sum(probs >= tau, axis=-1, keepdims=True) >= top_k
-
-    return _threshold_search(probs, keep)
+_CANDIDATES = 4096  # top-M prefilter width (covers serving k/p configs)
 
 
-def _top_p_threshold(probs: jax.Array, top_p: jax.Array) -> jax.Array:
-    top_p = jnp.asarray(top_p, jnp.float32).reshape(-1, 1)
+def _candidates(probs: jax.Array) -> jax.Array:
+    """Descending top-M values per row (exact, one lax.top_k pass).
 
-    def keep(tau):
-        mass = jnp.sum(jnp.where(probs >= tau, probs, 0.0), axis=-1, keepdims=True)
-        return mass >= top_p
+    TPU re-design of the reference's dual-pivot rejection rounds
+    (sampling.cuh:1202): instead of O(32) full-vocab masked reductions,
+    ONE top-M pass yields sorted candidates from which every k ≤ M and
+    every nucleus contained in the candidates resolves EXACTLY; the rare
+    uncovered case falls back to the binary search (lax.cond, whole
+    batch)."""
+    m = min(probs.shape[-1], _CANDIDATES)
+    return jax.lax.top_k(probs, m)[0]
 
-    return _threshold_search(probs, keep)
+
+def _top_k_threshold(probs: jax.Array, top_k: jax.Array,
+                     vals: jax.Array | None = None) -> jax.Array:
+    """tau = the k-th largest probability (exact): {p >= tau} has >= k
+    elements (ties included, reference semantics)."""
+    k_arr = jnp.asarray(top_k, jnp.int32).reshape(-1, 1)
+    if vals is None:
+        vals = _candidates(probs)
+    m = vals.shape[-1]
+    kc = jnp.clip(k_arr, 1, m)
+    tau = jnp.take_along_axis(vals, kc - 1, axis=-1)
+    if m == probs.shape[-1]:
+        return tau
+    # k beyond the candidate set: exact per-row fallback via search
+    covered = k_arr <= m
+
+    def slow(_):
+        def keep(t):
+            return jnp.sum(probs >= t, axis=-1, keepdims=True) >= k_arr
+        return jnp.where(covered, tau, _threshold_search(probs, keep))
+
+    return jax.lax.cond(jnp.all(covered), lambda _: tau, slow, None)
+
+
+def _top_p_threshold(probs: jax.Array, top_p: jax.Array,
+                     vals: jax.Array | None = None) -> jax.Array:
+    """Largest tau with mass{p >= tau} >= top_p: exact from the sorted
+    candidate prefix whenever the candidates cover mass top_p."""
+    p_arr = jnp.asarray(top_p, jnp.float32).reshape(-1, 1)
+    if vals is None:
+        vals = _candidates(probs)
+    m = vals.shape[-1]
+    csum = jnp.cumsum(vals, axis=-1)
+    # first index where cumulative mass reaches p (ties: smallest set)
+    idx = jnp.sum((csum < p_arr).astype(jnp.int32), axis=-1, keepdims=True)
+    tau = jnp.take_along_axis(vals, jnp.minimum(idx, m - 1), axis=-1)
+    if m == probs.shape[-1]:
+        return tau
+    covered = (idx < m) | (csum[:, -1:] >= p_arr)
+
+    def slow(_):
+        def keep(t):
+            mass = jnp.sum(jnp.where(probs >= t, probs, 0.0), axis=-1,
+                           keepdims=True)
+            return mass >= p_arr
+        return jnp.where(covered, tau, _threshold_search(probs, keep))
+
+    return jax.lax.cond(jnp.all(covered), lambda _: tau, slow, None)
 
 
 def sampling_from_probs(
@@ -249,14 +293,21 @@ def top_k_top_p_sampling_from_probs(
     k_arr = jnp.broadcast_to(jnp.asarray(top_k), (batch,))
     p_arr = jnp.broadcast_to(jnp.asarray(top_p), (batch,))
     if filter_apply_order == "top_k_first":
-        tau_k = _top_k_threshold(pf, k_arr)
+        # ONE top-M candidates pass serves both thresholds: the kept set
+        # {p >= tau_k} is a prefix of the sorted candidates (k <= M), so
+        # the renormalized nucleus threshold reads off the same prefix
+        vals = _candidates(pf)
+        tau_k = _top_k_threshold(pf, k_arr, vals)
         pk = jnp.where(pf >= tau_k, pf, 0.0)
-        pk = pk / jnp.maximum(jnp.sum(pk, -1, keepdims=True), 1e-38)
-        tau_p = _top_p_threshold(pk, p_arr)
+        z = jnp.maximum(jnp.sum(pk, -1, keepdims=True), 1e-38)
+        pk = pk / z
+        vk = jnp.where(vals >= tau_k, vals, 0.0) / z  # sorted prefix of pk
+        tau_p = _top_p_threshold(pk, p_arr, vk)
         out = _masked_sample(pk, pk >= tau_p, key)
     elif filter_apply_order == "joint":
-        tau_k = _top_k_threshold(pf, k_arr)
-        tau_p = _top_p_threshold(pf, p_arr)
+        vals = _candidates(pf)
+        tau_k = _top_k_threshold(pf, k_arr, vals)
+        tau_p = _top_p_threshold(pf, p_arr, vals)
         mask = jnp.logical_and(pf >= tau_k, pf >= tau_p)
         out = _masked_sample(pf, mask, key)
     else:
