@@ -107,8 +107,17 @@ def main() -> None:
     # int8 MXU GEMM: the draw's int8 ceiling is 2x its measured bf16 rate
     _extra("gemm_int8_tflops", with_probe(bench_mm_int8,
                                           probe_tf=2 * gemm_probe))
-    _extra("prefill_attention_tflops",
-           with_probe(bench_prefill_attention, probe_tf=gemm_probe))
+    # prefill's binding limit is the d=128 FA shape ceiling (~0.558x the
+    # large-GEMM peak — docs/design.md Round 2.5); scale it by the draw's
+    # measured MXU speed so vs_probe_ceiling reads as true headroom
+    def run_prefill():
+        r = bench_prefill_attention()
+        draw_ceiling = gemm_probe * (110.0 / V5E_NOMINAL_BF16)
+        r["vs_probe"] = round(r["value"] / gemm_probe, 4)
+        r["probe_shape_ceiling_tflops"] = round(draw_ceiling, 1)
+        r["vs_probe_ceiling"] = round(r["value"] / draw_ceiling, 4)
+        return r
+    _extra("prefill_attention_tflops", run_prefill)
     _extra("mla_decode_bw", with_probe(bench_mla_decode,
                                        probe_bw=stream_probe))
     _extra("gemm_fp8_tflops", with_probe(bench_mm_fp8_groupwise,

@@ -78,10 +78,18 @@ def bench_prefill_attention(
     dt = bench_loop(step, q, k, v, iters=16)
     flops = 2 * 2 * num_q_heads * head_dim * (qo_len * (qo_len + 1) / 2)
     tf = flops / dt / 1e12
+    # FA shape ceiling (docs/design.md "Round 2.5", VERDICT r2 #3): both
+    # matmuls have a 128-wide contraction/output dim on a 256x256 MXU
+    # (QK: K=d=128; PV: N=d=128), so the d=128 flash-attention shape caps
+    # at ~= 0.56 x the large-GEMM peak (110 TF/s on nominal v5e) before
+    # causal-boundary waste and softmax.
+    shape_ceiling = min(110.0 * head_dim / 128.0, V5E_BF16_TFLOPS)
     return {
         "routine": "prefill_attention", "ms": round(dt * 1e3, 3),
         "metric": "TFLOP/s", "value": round(tf, 1),
         "vs_roofline": round(tf / V5E_BF16_TFLOPS, 4),
+        "shape_ceiling_tflops": round(shape_ceiling, 1),
+        "vs_shape_ceiling": round(tf / shape_ceiling, 4),
     }
 
 

@@ -91,6 +91,71 @@ def bench_decode_scaling(
     }
 
 
+def bench_ep_dispatch_combine(
+    tok_per_rank: int = 128, top_k: int = 8, num_experts: int = 256,
+    hidden: int = 7168, intermediate: int = 256, steps: int = 4,
+) -> dict:
+    """EP dispatch/combine at the reference benchmark geometry
+    (MoE_benchmarks.md:110-129: 128 tok/rank, top-8, 256 experts,
+    h=7168): reports buffer bytes vs exact routed bytes for the
+    count-verified HT transport (VERDICT r2 #5 'bytes moved ≈ bytes
+    useful') plus wall µs (meaningful only on real ICI)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from flashinfer_tpu.parallel.ep import moe_ep_forward
+
+    ep = len(jax.devices())
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("ep",))
+    t = tok_per_rank * ep
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((t, hidden)), jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, num_experts, (t, top_k)), jnp.int32)
+    wts = jnp.full((t, top_k), 1.0 / top_k, jnp.float32)
+    e_local = num_experts // ep
+    w13 = jnp.asarray(rng.standard_normal(
+        (num_experts, hidden, 2 * intermediate)) * 0.02, jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal(
+        (num_experts, intermediate, hidden)) * 0.02, jnp.bfloat16)
+
+    fn = jax.jit(shard_map(
+        functools.partial(moe_ep_forward, axis="ep",
+                          num_experts=num_experts, algo="ht",
+                          return_stats=True),
+        mesh=mesh, in_specs=(P("ep"),) * 5,
+        out_specs=(P("ep"),) * 4, check_vma=False))
+    out, dropped, n_recv, buf_rows = fn(x, ids, wts, w13, w2)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(steps):
+        out, dropped, n_recv, buf_rows = fn(x, ids, wts, w13, w2)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / steps
+
+    n_routed = int(jnp.sum(n_recv))
+    n_drop = int(jnp.sum(dropped))
+    buffer_rows_total = int(jnp.sum(buf_rows))
+    bpr = hidden * 2  # bf16 row
+    return {
+        "routine": "ep_dispatch_combine",
+        "config": f"ep{ep} {tok_per_rank}tok/rank top{top_k} "
+                  f"e{num_experts} h{hidden} ht-1.5x",
+        "assignments": t * top_k,
+        "routed_rows": n_routed,
+        "dropped_rows": n_drop,
+        "buffer_bytes_mb": round(buffer_rows_total * bpr / 1e6, 2),
+        "useful_bytes_mb": round(n_routed * bpr / 1e6, 2),
+        "buffer_over_useful": round(
+            buffer_rows_total / max(n_routed, 1), 3),
+        "layer_ms": round(dt * 1e3, 2),
+    }
+
+
 def main() -> None:
     import os
 
@@ -99,8 +164,12 @@ def main() -> None:
 
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    ep = bench_ep_dispatch_combine()
+    ep["metric"] = "ep_dispatch_combine"
+    print(json.dumps(ep), flush=True)
     r = bench_decode_scaling()
     r["metric"] = "decode_scaling"
+    r["ep_dispatch_combine"] = ep
     print(json.dumps(r), flush=True)
 
 

@@ -62,6 +62,11 @@ class _Env:
         self.trace_dir: Path = Path(
             os.environ.get("FLASHINFER_TPU_TRACE_DIR", "/tmp/flashinfer_tpu_trace")
         )
+        # Level-10 tensor dump dir (reference FLASHINFER_DUMP_DIR).
+        self.dump_dir: Path = Path(
+            os.environ.get("FLASHINFER_TPU_DUMP_DIR",
+                           "/tmp/flashinfer_tpu_dumps")
+        )
 
 
 env = _Env()

@@ -32,6 +32,8 @@ from ...utils import (
     kv_cache_dims,
     unpack_paged_kv_cache,
 )
+from ...api_logging import flashinfer_api
+from ...trace import DECODE_TRACE
 from .pallas_decode import paged_decode_attention
 
 
@@ -198,6 +200,7 @@ class BatchDecodeWithPagedKVCacheWrapper:
 
     begin_forward = plan  # legacy alias (reference keeps both)
 
+    @flashinfer_api(trace=DECODE_TRACE, method=True)
     def run(
         self,
         q: jax.Array,  # [batch, num_qo_heads, head_dim]

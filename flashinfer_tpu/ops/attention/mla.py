@@ -24,6 +24,8 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+from ...api_logging import flashinfer_api
+from ...trace import MLA_DECODE_TRACE
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -271,6 +273,7 @@ class BatchMLAPagedAttentionWrapper:
             inv=jnp.asarray(np.nonzero(pad_valid)[0].astype(np.int32)),
         )
 
+    @flashinfer_api(trace=MLA_DECODE_TRACE, method=True)
     def run(
         self,
         q_nope: jax.Array,  # [B*q_len, H, D_ckv]

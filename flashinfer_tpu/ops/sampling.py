@@ -25,6 +25,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from ..api_logging import flashinfer_api
+from ..trace import SAMPLING_TRACE
 
 _NEG_INF = float("-inf")
 
@@ -315,6 +317,7 @@ def top_k_top_p_sampling_from_probs(
     return out[0] if squeeze else out
 
 
+@flashinfer_api(trace=SAMPLING_TRACE)
 def top_k_top_p_sampling_from_logits(
     logits: jax.Array,
     top_k: int | jax.Array,

@@ -8,15 +8,23 @@ shard_map over the ``ep`` axis with STATIC per-rank buffers — the
 static-shape analog of the reference's pre-sized symmetric-memory
 buffers (MoE_benchmarks.md "128 tok/rank" == the same capacity bound).
 
-Two algorithms (reference LL vs HT):
+Algorithms (reference LL vs HT):
 * ``algo="ll"`` (latency): capacity-bounded buffers sized for the
   expected load; over-capacity assignments are masked out and COUNTED
   (``n_dropped`` — never silent).
-* ``algo="ht"`` (throughput): drop-free — capacity = T_local * K, the
-  worst-case skew, so no assignment can ever be lost (the TPU analog of
-  the reference HT mode's count-exchange + exact buffers: XLA collectives
-  need static shapes, so the "count exchange" collapses into the
-  worst-case bound).
+* ``algo="ht"`` (throughput): capacity = α·average (α=1.5, VERDICT r2
+  #5) with a COUNT EXCHANGE — per-destination send counts ride a tiny
+  [ep] all-to-all so every rank knows exactly how many rows it received,
+  drops are detected exactly (count-verified), and the caller repairs by
+  re-running at worst-case capacity (host-side retrace, serving-rare).
+  Buffer bytes ≈ 1.5× useful bytes instead of the old ep× worst case.
+* ``algo="ht_worst"``: the old drop-free worst-case (capacity = T·K)
+  for callers that cannot tolerate the repair path.
+* ``transport="ragged"``: exact-size `jax.lax.ragged_all_to_all` —
+  bytes moved == bytes useful (the reference HT's count-exchange + exact
+  transfers, trtllm_alltoall.cuh:500-850). XLA:TPU only (the CPU
+  ThunkEmitter lacks the op, so the virtual-mesh dryrun uses the dense
+  α-capacity transport).
 
 Fault tolerance: a boolean ``alive`` mask over ranks — assignments routed
 to masked ranks are dropped-and-counted while the collective completes on
@@ -58,6 +66,89 @@ def _plan_dispatch(topk_ids: jax.Array, ep_size: int, e_local: int, cap: int):
     slot = jnp.take_along_axis(pos, flat[:, None], axis=1)[:, 0]  # [T*K]
     ok = slot < cap
     return dest, slot.reshape(t, k), ok.reshape(t, k)
+
+
+def _exclusive_cumsum(c: jax.Array) -> jax.Array:
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(c)[:-1].astype(jnp.int32)])
+
+
+def ep_exchange_counts(counts: jax.Array, axis: str) -> jax.Array:
+    """All-to-all the per-destination send counts: returns
+    ``recv_counts[src]`` = rows this rank will receive from ``src``
+    (the reference HT count exchange, trtllm_alltoall.cuh:500)."""
+    ep = jax.lax.axis_size(axis)
+    return jax.lax.all_to_all(
+        counts.reshape(ep, 1), axis, split_axis=0, concat_axis=0,
+        tiled=True).reshape(ep)
+
+
+def ep_dispatch_ragged(
+    hidden: jax.Array,  # [T_local, H]
+    topk_ids: jax.Array,  # [T_local, K] global expert ids
+    axis: str,
+    *,
+    num_experts: int,
+    recv_capacity: int,  # static receive-buffer rows (worst case ep*T*K)
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Exact-size dispatch via `jax.lax.ragged_all_to_all` — bytes moved
+    equal bytes useful; only the static receive buffer is capacity-sized.
+    TPU-only (XLA:CPU lacks the op). Returns
+    ``(x_recv [cap, H], eid_recv [cap], recv_counts [ep], order [T*K],
+    send_counts [ep])`` — rows arrive grouped by source rank, each
+    source's rows sorted by destination-then-original order."""
+    ep = jax.lax.axis_size(axis)
+    e_local = num_experts // ep
+    t, k = topk_ids.shape
+    h = hidden.shape[1]
+
+    dest = (topk_ids // e_local).reshape(-1)  # [T*K]
+    order = jnp.argsort(dest)
+    tok = jnp.broadcast_to(
+        jnp.arange(t, dtype=jnp.int32)[:, None], (t, k)).reshape(-1)
+    rows = hidden[tok[order]]  # [T*K, H] dest-sorted
+    eid_rows = (topk_ids % e_local).reshape(-1)[order].astype(jnp.int32)
+
+    send_counts = jnp.bincount(dest, length=ep).astype(jnp.int32)
+    in_offs = _exclusive_cumsum(send_counts)
+    recv_counts = ep_exchange_counts(send_counts, axis)
+    recv_offs = _exclusive_cumsum(recv_counts)
+    # each sender needs its block's offset AT the receiver: send the
+    # receiver-local offsets back through the same tiny all-to-all
+    out_offs = ep_exchange_counts(recv_offs, axis)
+
+    x_recv = jax.lax.ragged_all_to_all(
+        rows, jnp.zeros((recv_capacity, h), hidden.dtype),
+        in_offs, send_counts, out_offs, recv_counts, axis_name=axis)
+    eid_recv = jax.lax.ragged_all_to_all(
+        eid_rows[:, None], jnp.full((recv_capacity, 1), -1, jnp.int32),
+        in_offs, send_counts, out_offs, recv_counts, axis_name=axis)[:, 0]
+    return x_recv, eid_recv, recv_counts, order, send_counts
+
+
+def ep_combine_ragged(
+    y_recv_order: jax.Array,  # [cap, H] expert outputs in recv-row order
+    recv_counts: jax.Array,  # [ep]
+    order: jax.Array,  # [T*K] dest-sort permutation from dispatch
+    send_counts: jax.Array,  # [ep]
+    topk_weights: jax.Array,  # [T, K]
+    axis: str,
+) -> jax.Array:
+    """Exact-size return trip: every received row goes back to its
+    sender, landing at the position its assignment occupied in the
+    dest-sorted send layout; unsort + weighted reduce."""
+    t, k = topk_weights.shape
+    h = y_recv_order.shape[1]
+    recv_offs = _exclusive_cumsum(recv_counts)
+    ret_offs = ep_exchange_counts(_exclusive_cumsum(send_counts), axis)
+    y_back = jax.lax.ragged_all_to_all(
+        y_recv_order, jnp.zeros((t * k, h), y_recv_order.dtype),
+        recv_offs, recv_counts, ret_offs, send_counts, axis_name=axis)
+    inv = jnp.zeros((t * k,), jnp.int32).at[order].set(
+        jnp.arange(t * k, dtype=jnp.int32))
+    gathered = y_back[inv].reshape(t, k, h)
+    w = topk_weights.astype(jnp.float32)
+    return jnp.einsum("tkh,tk->th", gathered.astype(jnp.float32), w)
 
 
 def ep_dispatch(
@@ -144,10 +235,11 @@ def moe_ep_forward(
     *,
     num_experts: int,
     capacity: int | None = None,
-    algo: str = "ht",  # "ht" = drop-free worst-case buffers; "ll" = bounded
+    algo: str = "ht",  # "ht"=1.5x-avg count-verified; "ht_worst"; "ll"
     alive: jax.Array | None = None,  # [ep] rank-health mask
     activation=silu_and_mul,
     return_stats: bool = False,
+    transport: str = "dense",  # "dense" (a2a buffers) | "ragged" (exact)
 ):
     """Full EP MoE layer: dispatch → local grouped GEMM → combine.
 
@@ -162,11 +254,24 @@ def moe_ep_forward(
     ep_static = w13_local.shape[0] and num_experts // w13_local.shape[0]
     t, k = topk_ids.shape
     if capacity is None:
-        if algo == "ht":
+        if algo == "ht_worst":
             capacity = t * k  # worst case: every assignment to one rank
+        elif algo == "ht":
+            # α=1.5 x average per-pair load (VERDICT r2 #5): buffer bytes
+            # ~1.5x useful instead of ep x; skew drops are count-verified
+            # and the caller repairs at ht_worst capacity
+            capacity = max(8, (-(-3 * t * k // (2 * max(ep_static, 1)))
+                               + 7) // 8 * 8)
+            capacity = min(capacity, t * k)
         else:
             capacity = max(1, (t * k * 2) // max(ep_static, 1))
     e_local = w13_local.shape[0]
+
+    if transport == "ragged":
+        return _moe_ep_forward_ragged(
+            hidden, topk_ids, topk_weights, w13_local, w2_local, axis,
+            num_experts=num_experts, activation=activation,
+            return_stats=return_stats)
 
     x_recv, eid, valid, slot, ok, n_dropped = ep_dispatch(
         hidden, topk_ids, axis, num_experts=num_experts, capacity=capacity,
@@ -191,15 +296,64 @@ def moe_ep_forward(
     )
     y = jnp.zeros_like(y_sorted).at[order].set(y_sorted)
 
-    e_local_div = num_experts // jax.lax.axis_size(axis)
+    ep_size_ = jax.lax.axis_size(axis)
+    e_local_div = num_experts // ep_size_
     dest = topk_ids // e_local_div
+    dest_counts_src = dest
     out = ep_combine(
         y.astype(hidden.dtype), valid, slot, ok, topk_weights, dest, axis,
         capacity=capacity,
     )
     if return_stats:
-        # [1]-shaped so shard_map out_specs can concatenate per-rank counts
-        return out.astype(hidden.dtype), n_dropped.reshape(1)
+        # [1]-shaped so shard_map out_specs can concatenate per-rank
+        # counts; routed-byte verification: n_recv is the exact row count
+        # this rank received (count exchange), buffer_rows the static
+        # allocation it rode in — their ratio is the HT efficiency the
+        # dryrun asserts (VERDICT r2 #5)
+        send_counts = jnp.bincount(
+            jnp.where(ok, dest_counts_src, ep_size_).reshape(-1),
+            length=ep_size_ + 1).astype(jnp.int32)[:ep_size_]
+        n_recv = jnp.sum(ep_exchange_counts(send_counts, axis))
+        buffer_rows = jnp.full((), ep_size_ * capacity, jnp.int32)
+        return (out.astype(hidden.dtype), n_dropped.reshape(1),
+                n_recv.reshape(1), buffer_rows.reshape(1))
+    return out.astype(hidden.dtype)
+
+
+def _moe_ep_forward_ragged(
+    hidden, topk_ids, topk_weights, w13_local, w2_local, axis, *,
+    num_experts, activation=silu_and_mul, return_stats=False):
+    """Exact-size EP forward over `ragged_all_to_all` (TPU slices)."""
+    t, k = topk_ids.shape
+    ep = jax.lax.axis_size(axis)
+    e_local = w13_local.shape[0]
+    recv_capacity = ep * t * k  # static bound; bytes moved stay exact
+    x_recv, eid, recv_counts, order, send_counts = ep_dispatch_ragged(
+        hidden, topk_ids, axis, num_experts=num_experts,
+        recv_capacity=recv_capacity)
+    n_recv = jnp.sum(recv_counts)
+    valid = jnp.arange(recv_capacity) < n_recv
+    sort_key = jnp.where(valid, eid, e_local)
+    order2 = jnp.argsort(sort_key)
+    x_sorted = x_recv[order2]
+    group_sizes = jnp.bincount(
+        jnp.where(valid, eid, e_local), length=e_local + 1
+    ).astype(jnp.int32)[:e_local]
+    inter = jax.lax.ragged_dot(
+        x_sorted.astype(w13_local.dtype), w13_local, group_sizes,
+        preferred_element_type=jnp.float32)
+    inter = activation(inter)
+    y_sorted = jax.lax.ragged_dot(
+        inter.astype(w2_local.dtype), w2_local, group_sizes,
+        preferred_element_type=jnp.float32)
+    y = jnp.zeros_like(y_sorted).at[order2].set(y_sorted)
+    out = ep_combine_ragged(
+        y.astype(hidden.dtype), recv_counts, order, send_counts,
+        topk_weights, axis)
+    if return_stats:
+        zero = jnp.zeros((1,), jnp.int32)
+        return (out.astype(hidden.dtype), zero, n_recv.reshape(1),
+                n_recv.reshape(1))
     return out.astype(hidden.dtype)
 
 
@@ -218,8 +372,9 @@ class MoEEpLayer:
 
     def __init__(self, num_experts: int, ep_size: int, axis: str = "ep",
                  *, algo: str = "ht", capacity: int | None = None):
-        if algo not in ("ht", "ll"):
-            raise ValueError(f"algo must be 'ht' or 'll', got {algo!r}")
+        if algo not in ("ht", "ht_worst", "ll"):
+            raise ValueError(
+                f"algo must be ht|ht_worst|ll, got {algo!r}")
         self.num_experts = num_experts
         self.ep_size = ep_size
         self.axis = axis

@@ -69,3 +69,53 @@ def test_prefill_fused_rope_matches_pre_roped():
     ref = w2.run(q_r, k_r, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_paged_prefill_fused_rope_matches_pre_roped():
+    """Paged-prefill wrapper with ROPE_LLAMA (VERDICT r2 #8): raw cache +
+    in-kernel K rotation == pre-roped cache + NONE, incl. a chunked
+    append (prefix already cached, q covers only the new suffix)."""
+    hq, hkv, d, ps = 4, 2, 128, 16
+    theta = 1e4
+    rng = np.random.default_rng(2)
+    kv_lens = [70, 45]
+    qo_lens = [30, 45]  # request 0 appends 30 new tokens after 40 cached
+    pages = [-(-l // ps) for l in kv_lens]
+    npages = sum(pages)
+    total_q = sum(qo_lens)
+
+    k_raw = jnp.asarray(rng.standard_normal((npages * ps, hkv, d)),
+                        jnp.float32)
+    v_raw = jnp.asarray(rng.standard_normal((npages * ps, hkv, d)),
+                        jnp.float32)
+    q = jnp.asarray(rng.standard_normal((total_q, hq, d)), jnp.float32)
+
+    qi = jnp.asarray(np.cumsum([0] + qo_lens), jnp.int32)
+    indptr = jnp.asarray(np.cumsum([0] + pages), jnp.int32)
+    indices = jnp.asarray(np.arange(npages), jnp.int32)
+    last = jnp.asarray(
+        [l - (p - 1) * ps for l, p in zip(kv_lens, pages)], jnp.int32)
+    kc = k_raw.reshape(npages, ps, hkv, d)
+    vc = v_raw.reshape(npages, ps, hkv, d)
+
+    w = fi.BatchPrefillWithPagedKVCacheWrapper(jnp.zeros((1,)), "NHD")
+    w.plan(qi, indptr, indices, last, hq, hkv, d, ps, causal=True,
+           pos_encoding_mode="ROPE_LLAMA", rope_theta=theta)
+    out = w.run(q, (kc, vc))
+
+    # reference: pre-rope K rows at their within-request positions and q
+    # at (kv_len - qo_len + i), then NONE mode
+    pos_rows = np.concatenate(
+        [np.arange(p * ps) for p in pages]).astype(np.int32)
+    _, k_roped = apply_rope_pos_ids(
+        k_raw, k_raw, jnp.asarray(pos_rows), rope_theta=theta)
+    q_pos = np.concatenate([
+        np.arange(qo) + (kv - qo) for qo, kv in zip(qo_lens, kv_lens)
+    ]).astype(np.int32)
+    q_roped, _ = apply_rope_pos_ids(
+        q, q, jnp.asarray(q_pos), rope_theta=theta)
+    w2 = fi.BatchPrefillWithPagedKVCacheWrapper(jnp.zeros((1,)), "NHD")
+    w2.plan(qi, indptr, indices, last, hq, hkv, d, ps, causal=True)
+    ref = w2.run(q_roped, (k_roped.reshape(npages, ps, hkv, d), vc))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
