@@ -1,186 +1,311 @@
-"""Driver benchmark: prints one JSON line per metric, HEADLINE LAST.
+"""Driver benchmark orchestrator: one JSON line per metric, HEADLINE LAST.
 
-The driver parses the final line ({"metric", "value", "unit",
-"vs_baseline"}); earlier lines land in the recorded tail so prefill/GEMM/
-model regressions are visible per round (VERDICT r1 weak #11).
+Round-3 post-mortem (VERDICT r3 weak #1): the previous in-process bench
+spent its entire 1500 s soft budget inside the FIRST metric on a slow
+tunnel draw and recorded nothing else (BENCH_r03 rc=124, 1/13 metrics).
+This orchestrator is restructured so a full slate lands on ANY draw:
 
-Probe normalization (VERDICT r2 #7/#9): the axon pool's chips vary in
-MXU and HBM speed independently and device_kind always reads "v5 lite",
-so two in-process probes anchor every roofline:
-  - gemm probe  = measured bf16 mm TFLOP/s (MXU speed of the draw)
-  - stream probe = measured HBM read+write GB/s (memory speed of the draw)
-Each metric reports vs_roofline against NOMINAL v5e AND vs_probe against
-the draw's own measured ceiling; the headline's vs_baseline is
-probe-normalized (value / stream probe) with the raw value and both
-denominators recorded alongside.
+  (a) metrics run in a PERSISTENT WORKER subprocess (benchmarks/worker.py)
+      — the axon tunnel charges minutes of per-process session setup on
+      bad draws (measured 4 s good / 357 s slow / fully wedged), so the
+      connection is paid once; the orchestrator enforces a hard
+      wall-clock deadline per metric and kills the worker by exact PID
+      only when a metric hangs (a hung XLA compile/execute cannot be
+      interrupted in-process; a subprocess can always be killed);
+  (b) the budget clock starts AFTER the worker's warm-up metric (first
+      device op) completes — tunnel spin-up is not the bench's fault;
+  (c) the headline (paged decode attention) is measured IMMEDIATELY after
+      the two probes and printed early — then re-printed (best seen) as
+      the final line, so even a driver hard-kill mid-slate records it;
+  (d) extras run in information-value order (VERDICT r3 #1d) so whatever
+      survives a slow draw is what matters;
+  (e) every metric always prints a line: value, error, timeout, or an
+      explicit skip reason.
+
+Probe normalization (VERDICT r2 #7/#9): the axon pool's chips vary in MXU
+and HBM speed independently and device_kind always reads "v5 lite", so two
+probes anchor every roofline: gemm probe = measured bf16 mm TFLOP/s,
+stream probe = measured HBM read+write GB/s. The headline's vs_baseline is
+probe-normalized (value / stream probe).
+
+Reference analog: benchmarks/flashinfer_benchmark.py (unified harness),
+flashinfer/testing/utils.py:774 (timing discipline).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import queue
 import subprocess
 import sys
+import threading
 import time
-
-import jax
-
-_T0 = time.time()
-_BUDGET_S = 1500.0  # soft budget for the extra metrics
 
 V5E_NOMINAL_BW = 819.0
 V5E_NOMINAL_BF16 = 197.0
 
+_START = time.time()  # process start: absolute backstop vs driver kill
+_T0 = time.time()  # reset after warm-up: the budget clock
+# No new metric launches after this deadline (driver hard-kills ~1800 s;
+# the final headline line must always print before that).
+_DEADLINE_S = float(os.environ.get("FLASHINFER_TPU_BENCH_DEADLINE_S",
+                                   "1500"))
+_ABS_DEADLINE_S = _DEADLINE_S + 150.0
+_WARMUP_CAP_S = 420.0
 
-def _extra(name: str, fn) -> dict | None:
-    if time.time() - _T0 > _BUDGET_S:
-        print(json.dumps({"metric": name, "skipped": "time budget"}))
-        return None
-    try:
-        r = fn()
-        r["metric"] = name
-        print(json.dumps(r), flush=True)
-        return r
-    except Exception as e:  # never let an extra metric kill the headline
-        print(json.dumps({"metric": name, "error": str(e)[:200]}),
+
+def _remaining() -> float:
+    now = time.time()
+    return min(_DEADLINE_S - (now - _T0),
+               _ABS_DEADLINE_S - (now - _START))
+
+
+class _Worker:
+    """Persistent metric worker with per-request deadlines."""
+
+    def __init__(self) -> None:
+        self._p: subprocess.Popen | None = None
+        self._q: queue.Queue[str | None] = queue.Queue()
+        self._warmup_failures = 0  # circuit breaker for a wedged tunnel
+
+    def _ensure(self) -> bool:
+        if self._p is not None and self._p.poll() is None:
+            return True
+        try:
+            self._p = subprocess.Popen(
+                [sys.executable, "-u", "-m", "benchmarks.worker"],
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, text=True, cwd=".",
+                env=os.environ)
+        except OSError:
+            return False
+        self._q = queue.Queue()
+        threading.Thread(target=self._pump, args=(self._p,),
+                         daemon=True).start()
+        return True
+
+    def _pump(self, p: subprocess.Popen) -> None:
+        for line in p.stdout:
+            self._q.put(line.rstrip("\n"))
+        self._q.put(None)  # EOF
+
+    def kill(self) -> None:
+        if self._p is not None and self._p.poll() is None:
+            self._p.kill()  # exact PID of the worker we started
+            self._p.wait()
+        self._p = None
+
+    def run(self, name: str, cap_s: float) -> dict | None:
+        """Run one metric under a deadline. Prints nothing; returns the
+        parsed result dict, or None (a line was printed by the caller)."""
+        if self._warmup_failures >= 2:
+            print(json.dumps(
+                {"metric": name,
+                 "skipped": "tunnel wedged (2 warm-up failures)"}),
+                flush=True)
+            return None
+        restarted = self._p is None
+        if not self._ensure():
+            print(json.dumps({"metric": name, "error": "worker spawn"}),
+                  flush=True)
+            return None
+        if restarted and name != "warmup":
+            # charge reconnect to a warm-up request, not the real metric
+            w = self._request("warmup", min(_WARMUP_CAP_S,
+                                            _remaining() + 10.0))
+            if w is None:
+                self._warmup_failures += 1
+                print(json.dumps(
+                    {"metric": name,
+                     "error": "worker warm-up timeout (tunnel wedged)"}),
+                    flush=True)
+                return None
+            self._warmup_failures = 0
+        return self._request(name, cap_s)
+
+    def _request(self, name: str, cap_s: float) -> dict | None:
+        deadline = time.time() + cap_s
+        try:
+            self._p.stdin.write(name + "\n")
+            self._p.stdin.flush()
+        except (BrokenPipeError, OSError):
+            self.kill()
+            return None
+        result: dict | None = None
+        while True:
+            try:
+                line = self._q.get(timeout=max(0.1, deadline - time.time()))
+            except queue.Empty:
+                self.kill()
+                print(json.dumps(
+                    {"metric": name, "error": f"timeout {cap_s:.0f}s"}),
+                    flush=True)
+                return None
+            if line is None:  # worker died
+                self.kill()
+                if result is None:
+                    print(json.dumps(
+                        {"metric": name, "error": "worker died"}),
+                        flush=True)
+                return result
+            if line == "<<DONE>>":
+                return result
+            if line.startswith("{"):
+                try:
+                    result = json.loads(line)
+                    result.setdefault("metric", name)
+                except json.JSONDecodeError:
+                    pass
+
+
+_WORKER = _Worker()
+
+
+def _metric(name: str, cap_s: float) -> dict | None:
+    if _remaining() < 20.0:
+        print(json.dumps({"metric": name, "skipped": "global deadline"}),
               flush=True)
         return None
+    return _WORKER.run(name, min(cap_s, _remaining() + 10.0))
 
 
-def _probe_stream() -> dict:
-    """Raw HBM stream (read+write) of this draw."""
-    import functools
+def _emit(r: dict | None) -> None:
+    if r is not None:
+        print(json.dumps(r), flush=True)
 
-    import numpy as np
 
-    x = jax.numpy.ones((512 * 1024 * 1024 // 2,), jax.numpy.bfloat16)
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(x, n):
-        def body(i, v):  # iteration-dependent operand: defeat hoisting
-            return v + jax.numpy.bfloat16(1e-9) * i.astype(
-                jax.numpy.bfloat16)
-        return jax.lax.fori_loop(0, n, body, x)
-
-    def timed(n):
-        best = float("inf")
-        for _ in range(3):
-            _ = np.asarray(loop(x, n)[0])
-            t0 = time.perf_counter()
-            _ = np.asarray(loop(x, n)[0])
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    d = (timed(9) - timed(1)) / 8
-    return {"value": round(2 * x.nbytes / d / 1e9, 1), "unit": "GB/s"}
+def _run_scaling() -> None:
+    """Multi-device scaling + EP tables on the virtual CPU mesh (its own
+    subprocess — never touches the tunnel)."""
+    name = "decode_scaling"
+    if _remaining() < 20.0:
+        print(json.dumps({"metric": name, "skipped": "global deadline"}),
+              flush=True)
+        return
+    env = {**os.environ,
+           "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+           "FLASHINFER_TPU_NO_PERSISTENT_CACHE": "1"}
+    try:
+        out = subprocess.run(
+            [sys.executable, "-m", "benchmarks.routines.scaling"],
+            capture_output=True, text=True, cwd=".", env=env,
+            timeout=min(420.0, _remaining() + 10.0))
+    except subprocess.TimeoutExpired:
+        print(json.dumps({"metric": name, "error": "timeout"}), flush=True)
+        return
+    lines = [ln for ln in out.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    if not lines:
+        print(json.dumps({"metric": name,
+                          "error": (out.stderr or "")[-300:]}), flush=True)
+    for ln in lines:
+        print(ln, flush=True)
 
 
 def main() -> None:
-    sys.path.insert(0, ".")
-    from benchmarks.routines.attention import (
-        bench_decode_attention, bench_mla_decode, bench_prefill_attention,
-    )
-    from benchmarks.routines.gemm import (
-        bench_mm_bf16, bench_mm_fp8_groupwise, bench_mm_int8,
-    )
-    from benchmarks.routines.moe import bench_fused_moe, bench_fused_moe_phases
-    from benchmarks.routines.model import (
-        bench_model_decode, bench_model_mla_moe_decode, bench_model_ttft,
-    )
-    from benchmarks.routines.sampling import bench_top_k_top_p_sampling
+    global _T0
+    # --- warm-up: first device op through the fresh worker;
+    # budget clock starts after it completes -----------------------------
+    w = _WORKER.run("warmup", cap_s=_WARMUP_CAP_S)
+    if w is None:
+        _WORKER._warmup_failures += 1
+    _emit(w)
+    _T0 = time.time()
 
-    # --- probes first: they anchor every later roofline -----------------
-    g = _extra("gemm_bf16_tflops", bench_mm_bf16)
+    # --- probes: they anchor every later roofline ------------------------
+    g = _metric("gemm_bf16", cap_s=240.0)
+    _emit(g)
     gemm_probe = (g or {}).get("value") or V5E_NOMINAL_BF16
-    s = _extra("hbm_stream_gbs", _probe_stream)
+    s = _metric("hbm_stream", cap_s=150.0)
+    _emit(s)
     stream_probe = (s or {}).get("value") or V5E_NOMINAL_BW
 
-    def with_probe(fn, probe_tf=None, probe_bw=None):
-        def run():
-            r = fn()
-            if probe_tf and "value" in r:
-                r["vs_probe"] = round(r["value"] / probe_tf, 4)
-            if probe_bw and "value" in r:
-                r["vs_probe"] = round(r["value"] / probe_bw, 4)
-            return r
-        return run
+    def headline_line(r: dict) -> dict:
+        return {
+            "metric": "paged_decode_attention_bw",
+            "value": r["value"], "unit": "GB/s",
+            "vs_baseline": round(r["value"] / stream_probe, 4),
+            "vs_nominal_v5e": round(r["value"] / V5E_NOMINAL_BW, 4),
+            "stream_probe_gbs": stream_probe,
+            "gemm_probe_tflops": gemm_probe,
+        }
 
-    # int8 MXU GEMM: the draw's int8 ceiling is 2x its measured bf16 rate
-    _extra("gemm_int8_tflops", with_probe(bench_mm_int8,
-                                          probe_tf=2 * gemm_probe))
-    # prefill's binding limit is the d=128 FA shape ceiling (~0.558x the
-    # large-GEMM peak — docs/design.md Round 2.5); scale it by the draw's
-    # measured MXU speed so vs_probe_ceiling reads as true headroom
-    def run_prefill():
-        r = bench_prefill_attention()
+    # --- headline FIRST (early print survives any later kill) -----------
+    best = _metric("decode_attention", cap_s=240.0)
+    if best is not None and "value" in best:
+        early = headline_line(best)
+        early["metric"] = "paged_decode_attention_bw_early"
+        print(json.dumps(early), flush=True)
+    else:
+        best = None
+
+    # --- extras in information-value order -------------------------------
+    def vs_probe_tf(r, probe):
+        if r and "value" in r and probe:
+            r["vs_probe"] = round(r["value"] / probe, 4)
+        return r
+
+    _emit(vs_probe_tf(_metric("gemm_int8", cap_s=150.0), 2 * gemm_probe))
+    _emit(vs_probe_tf(_metric("moe_w8a8", cap_s=150.0), 2 * gemm_probe))
+    _emit(_metric("sampling", cap_s=150.0))
+    _emit(_metric("mla_decode_int8", cap_s=150.0))
+
+    r = _metric("model_decode", cap_s=300.0)
+    if r and "hbm_gb_per_step" in r and "ms_per_step" in r:
+        floor = r["hbm_gb_per_step"] * 1e3 / stream_probe
+        r["stream_floor_ms"] = round(floor, 2)
+        r["vs_floor"] = round(floor / r["ms_per_step"], 4)
+    _emit(r)
+
+    _emit(_metric("moe_phases", cap_s=150.0))
+
+    r = _metric("prefill_attention", cap_s=150.0)
+    if r and "value" in r:
+        # the d=128 FA shape ceiling scaled by the draw's measured MXU speed
         draw_ceiling = gemm_probe * (110.0 / V5E_NOMINAL_BF16)
         r["vs_probe"] = round(r["value"] / gemm_probe, 4)
         r["probe_shape_ceiling_tflops"] = round(draw_ceiling, 1)
         r["vs_probe_ceiling"] = round(r["value"] / draw_ceiling, 4)
-        return r
-    _extra("prefill_attention_tflops", run_prefill)
-    _extra("mla_decode_bw", with_probe(bench_mla_decode,
-                                       probe_bw=stream_probe))
-    _extra("gemm_fp8_tflops", with_probe(bench_mm_fp8_groupwise,
-                                         probe_tf=gemm_probe))
-    _extra("moe_tflops", with_probe(
-        lambda: bench_fused_moe(expert_dtype="w8a8"),
-        probe_tf=2 * gemm_probe))
-    _extra("moe_phase_attribution",
-           lambda: bench_fused_moe_phases(expert_dtype="w8a8"))
-    _extra("sampling_tokens_per_s", bench_top_k_top_p_sampling)
+    _emit(r)
 
-    # int8 weights are the TPU deployment format (same 8-bit width as the
-    # reference's fp8 serving path); decode GEMMs are weight-DMA-bound so
-    # the step is framed against its HBM ledger (floor_ms at the draw's
-    # measured stream rate)
-    def run_decode():
-        r = bench_model_decode(weight_dtype="int8")
-        if "hbm_gb_per_step" in r and "ms_per_step" in r:
-            floor = r["hbm_gb_per_step"] * 1e3 / stream_probe
-            r["stream_floor_ms"] = round(floor, 2)
-            r["vs_floor"] = round(floor / r["ms_per_step"], 4)
-        return r
-    _extra("model_decode_tokens_per_s", run_decode)
-    _extra("model_ttft_ms", lambda: bench_model_ttft(
-        weight_dtype="int8", gemm_impl="w8a8"))
-    _extra("mla_moe_model_tokens_per_s", bench_model_mla_moe_decode)
+    _emit(_metric("sparse_mla", cap_s=200.0))
+    _emit(vs_probe_tf(_metric("gemm_fp8", cap_s=120.0), gemm_probe))
+    _emit(vs_probe_tf(_metric("moe_w8a8_large", cap_s=200.0),
+                      2 * gemm_probe))
+    _emit(_metric("mla_decode_bf16", cap_s=120.0))
+    _emit(_metric("model_ttft", cap_s=200.0))
+    _emit(_metric("mla_moe_model", cap_s=200.0))
 
-    # multi-device scaling table on the virtual CPU mesh (subprocess so
-    # the TPU tunnel process stays single-platform)
-    def run_scaling():
-        env = {"JAX_PLATFORMS": "cpu",
-               "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
-               "FLASHINFER_TPU_NO_PERSISTENT_CACHE": "1",
-               "PATH": "/usr/bin:/bin:/usr/local/bin"}
-        import os
+    _run_scaling()
 
-        env = {**os.environ, **env}
-        out = subprocess.run(
-            [sys.executable, "-m", "benchmarks.routines.scaling"],
-            capture_output=True, text=True, timeout=900, env=env, cwd=".")
-        for line in reversed(out.stdout.strip().splitlines()):
-            if line.startswith("{"):
-                return json.loads(line)
-        raise RuntimeError(out.stderr[-300:])
-    _extra("decode_scaling", run_scaling)
-
-    # headline LAST: paged-decode attention bandwidth. The chip warms up
-    # monotonically across measurements (723 -> 789 GB/s observed): take
-    # the best of several full measurements.
-    best = None
-    for _ in range(6):
-        r = bench_decode_attention()
-        if best is None or r["value"] > best["value"]:
+    # --- headline refinement: chip warms monotonically; take best -------
+    for _ in range(2):
+        if _remaining() < 90.0:
+            break
+        r = _metric("decode_attention_once", cap_s=120.0)
+        if r and "value" in r and (best is None
+                                   or r["value"] > best["value"]):
             best = r
-    print(json.dumps({
-        "metric": "paged_decode_attention_bw",
-        "value": best["value"],
-        "unit": "GB/s",
-        "vs_baseline": round(best["value"] / stream_probe, 4),
-        "vs_nominal_v5e": round(best["value"] / V5E_NOMINAL_BW, 4),
-        "stream_probe_gbs": stream_probe,
-        "gemm_probe_tflops": gemm_probe,
-    }))
+
+    try:
+        self_pipe = _WORKER._p
+        if self_pipe is not None and self_pipe.poll() is None:
+            self_pipe.stdin.write("EXIT\n")
+            self_pipe.stdin.flush()
+    except OSError:
+        pass
+    _WORKER.kill()
+
+    if best is None:
+        print(json.dumps({
+            "metric": "paged_decode_attention_bw", "value": 0.0,
+            "unit": "GB/s", "vs_baseline": 0.0,
+            "error": "all headline attempts failed",
+        }), flush=True)
+        return
+    print(json.dumps(headline_line(best)), flush=True)
 
 
 if __name__ == "__main__":

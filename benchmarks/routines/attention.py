@@ -93,6 +93,62 @@ def bench_prefill_attention(
     }
 
 
+def bench_sparse_mla_decode(
+    batch: int = 64, ctx_len: int = 32768, top_k: int = 2048,
+    num_heads: int = 128, d_ckv: int = 512, d_kpe: int = 64,
+) -> dict:
+    """Sparse top-k MLA decode at DSv3.2 geometry (32k ctx, top-2048,
+    h128; reference csrc/sparse_mla_sm120_decode_dsv3_2.cu) vs the dense
+    streaming MLA kernel at EQUAL KV BYTES (kv_len == top_k).
+
+    The sparse path is an XLA row-gather + dense einsum (mla.py:449);
+    VERDICT r3 #6 asks for a measured sparse/dense bandwidth ratio —
+    docstring claims it's MXU-bound, so it should land >= 0.7x dense.
+    """
+    from flashinfer_tpu.ops.attention.mla import sparse_mla_attention
+
+    d = d_ckv + d_kpe
+    page_size = 64
+    pool_tokens = batch * ctx_len
+    rng = np.random.default_rng(0)
+    kv = jnp.asarray(
+        rng.standard_normal((pool_tokens // page_size, page_size, d)),
+        jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((batch, 1, num_heads, d)),
+                    jnp.bfloat16)
+    # each request's candidates live inside its own 32k-slot region
+    base = (np.arange(batch, dtype=np.int64) * ctx_len)[:, None, None]
+    cand = np.stack([
+        rng.choice(ctx_len, size=top_k, replace=False) for _ in range(batch)
+    ])[:, None, :]
+    idx = jnp.asarray(base + cand, jnp.int32)
+
+    def step(q_cur, kv, idx):
+        o = sparse_mla_attention(q_cur, kv, idx, head_dim_ckv=d_ckv)
+        return jnp.pad(o, ((0, 0), (0, 0), (0, 0), (0, d - d_ckv)))
+
+    dt = min(bench_loop(step, q, kv, idx, iters=16) for _ in range(2))
+    useful_bytes = batch * top_k * d * 2
+    gbs = useful_bytes / dt / 1e9
+    flops = 2 * batch * num_heads * top_k * (d + d_ckv)
+    tf = flops / dt / 1e12
+
+    dense = bench_mla_decode(batch=batch, kv_len=top_k,
+                             num_heads=num_heads, d_ckv=d_ckv, d_kpe=d_kpe)
+    # dense layout lane-pads kpe to 128 (640 B/token vs 576): compare
+    # token-rates, i.e. useful-byte bandwidth scaled to a common 576-wide row
+    dense_equal_bytes_gbs = dense["value"] * d / (d_ckv + 128)
+    return {
+        "routine": "sparse_mla_decode", "ms": round(dt * 1e3, 3),
+        "config": f"b{batch} ctx{ctx_len} top{top_k} h{num_heads}",
+        "metric": "GB/s-useful", "value": round(gbs, 1),
+        "tf_equiv": round(tf, 1),
+        "dense_equal_bytes_gbs": round(dense_equal_bytes_gbs, 1),
+        "sparse_over_dense": round(gbs / dense_equal_bytes_gbs, 4),
+        "dense_ms": dense["ms"],
+    }
+
+
 def bench_mla_decode(
     batch: int = 64, kv_len: int = 2048, page_size: int = 64,
     num_heads: int = 128, d_ckv: int = 512, d_kpe: int = 64,

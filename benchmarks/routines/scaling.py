@@ -125,7 +125,7 @@ def bench_ep_dispatch_combine(
 
     fn = jax.jit(shard_map(
         functools.partial(moe_ep_forward, axis="ep",
-                          num_experts=num_experts, algo="ht",
+                          num_experts=num_experts, algo="ht_bounded",
                           return_stats=True),
         mesh=mesh, in_specs=(P("ep"),) * 5,
         out_specs=(P("ep"),) * 4, check_vma=False))

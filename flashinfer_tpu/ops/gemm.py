@@ -76,6 +76,13 @@ def mm_int8(
         if a_scale is not None:
             raise ValueError("a_scale only valid with pre-quantized int8 a")
         a, a_scale = quantize_int8_rows(a)
+    elif a_scale is None and b_scale is not None:
+        # ADVICE r3: a half-scaled product (weight scale without the
+        # activation scale) is silently off by ~127/amax per row. Raw
+        # unscaled int8 x int8 (both scales None) stays legal — it is the
+        # exact-int32-accumulation mode the tests pin down.
+        raise ValueError("a_scale is required when a is pre-quantized int8 "
+                         "and b_scale is provided")
     acc = jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32)

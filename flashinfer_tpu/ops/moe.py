@@ -236,11 +236,19 @@ def fused_moe_w8a8(
             and w2_q.shape[2] % 128 == 0:
         from .moe_pallas import moe_expert_pipeline_w8a8
 
-        y = moe_expert_pipeline_w8a8(
+        # fold the finalize unpermute into the pipeline's output gather
+        # (one gather instead of gather-then-gather; moe_finalize's
+        # weighted reduction stays here)
+        tk = sort_idx.shape[0]
+        inv = jnp.zeros((tk,), jnp.int32).at[sort_idx].set(
+            jnp.arange(tk, dtype=jnp.int32))
+        y_assign = moe_expert_pipeline_w8a8(
             x8_sorted, xs_sorted, group_sizes, w13_q,
             w13_scale.astype(jnp.float32), w2_q,
-            w2_scale.astype(jnp.float32))
-        out = moe_finalize(y, sort_idx, topk_weights, t)
+            w2_scale.astype(jnp.float32), out_gather_idx=inv)
+        contrib = y_assign.astype(jnp.float32).reshape(t, k, -1)
+        out = jnp.sum(
+            contrib * topk_weights[..., None].astype(jnp.float32), axis=1)
         return out.astype(out_dtype)
 
     acc1 = jax.lax.ragged_dot(

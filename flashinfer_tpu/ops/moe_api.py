@@ -170,7 +170,14 @@ class MoE:
         if v in (QuantVariant.BF16, QuantVariant.FP8PerTensor):
             self.w13, self.w2 = w13, w2
             self.w13_scale, self.w2_scale = w13_scale, w2_scale
-        elif v == QuantVariant.DeepSeekFp8 and w13_scale is None:
+        elif v == QuantVariant.DeepSeekFp8 and (
+                w13_scale is None or w2_scale is None):
+            # ADVICE r3: a mixed None/provided scale pair would silently
+            # discard the provided scale and requantize garbage
+            if (w13_scale is None) != (w2_scale is None):
+                raise ValueError(
+                    "DeepSeekFp8: provide BOTH w13_scale and w2_scale, or "
+                    "neither (auto-quantize from unscaled float weights)")
             # unscaled float weights (bf16/f32): quantize to the block
             # format here rather than dereferencing a missing scale
             # (advisor r2: examples/moe_layer.py crashed on this path)

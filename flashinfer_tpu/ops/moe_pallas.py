@@ -6,12 +6,12 @@ touches HBM at full precision. Round-3 phase attribution showed the XLA
 version spends ~3x the GEMM time in un-fused glue (epilogue scale, silu,
 requantize, finalize): the fix is two Pallas kernels.
 
-  K1 (gmm1+act+requant): for each single-expert m-tile, the int8 gate AND
-     up tiles of w13 are dot'ed on the MXU's int8 mode (int32 accumulate),
-     the f32 scale epilogue + SiLU + per-row requantization all happen on
-     the tile in VMEM, and only int8 rows + one f32 scale per row leave
-     the kernel. Whole-I output tiles (tn = I) so the per-row amax is
-     exact (not per-subtile).
+  K1 (gmm1+act+requant): for each single-expert m-tile, the int8
+     [gate|up] tile of w13 rides ONE MXU int8 dot (int32 accumulate), the
+     f32 scale epilogue + SiLU + per-row requantization all happen on the
+     tile in VMEM, and only int8 rows + one f32 scale per row leave the
+     kernel. Whole-I output tiles (tn = I) so the per-row amax is exact
+     (not per-subtile).
 
   K2 (gmm2): int8 x int8 -> int32 with the (row scale x per-channel
      w2_scale) epilogue, bf16 out.
@@ -20,6 +20,15 @@ Both kernels reuse the megablox-style single-expert m-tile layout of
 ops/gmm.py: rows pre-sorted by expert, padded so each m-tile belongs to
 exactly one expert, tile->expert map on scalar prefetch driving the
 weight BlockSpecs (auto double-buffered quantized weight streams).
+
+Round-4 rework (VERDICT r3 #2, 78 TF/s -> target >=160): the padded
+row layout is now GATHER-based — the previous ``.at[padded_row].set``
+scatter of the [Tp, K] int8 activations ran ~5x below HBM roofline
+(the same pathology moe_finalize documents: XLA row-scatter on TPU is
+serialized; a measured 720 us scatter vs 10 us gather on equal bytes).
+All data movement into and out of the kernels is now one gather each,
+and the caller can fold its finalize unpermute into the output gather
+via ``out_gather_idx``.
 """
 
 from __future__ import annotations
@@ -34,11 +43,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..env import resolve_interpret
 
 
-def _pad_sorted_rows(x_sorted: jax.Array, group_sizes: jax.Array, tm: int):
-    """Repack rows so every m-tile is single-expert (shared with
-    gmm.py's layout). Returns (x_padded [Tp, K], padded_row [Ts],
-    tile_e [MT])."""
-    ts, k = x_sorted.shape
+def _padded_layout(group_sizes: jax.Array, tm: int, ts: int):
+    """Index math for the single-expert m-tile layout (no data movement).
+
+    Returns ``(src_sorted [Tp], valid [Tp], padded_row [Ts], tile_e [MT])``
+    where ``src_sorted[p]`` is the sorted-row index feeding padded row
+    ``p`` (gather form), ``valid[p]`` marks real rows, ``padded_row[r]``
+    is the inverse map (where sorted row ``r`` landed), and ``tile_e[m]``
+    the expert owning m-tile ``m``.
+    """
     e = group_sizes.shape[0]
     gs = group_sizes.astype(jnp.int32)
     padded = ((gs + tm - 1) // tm) * tm
@@ -46,42 +59,47 @@ def _pad_sorted_rows(x_sorted: jax.Array, group_sizes: jax.Array, tm: int):
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)])
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(gs)])
-    tp = ((ts + tm - 1) // tm) * tm + e * tm
+    tp = ((ts + tm - 1) // tm) * tm + e * tm  # static worst-case size
     mt = tp // tm
+
+    p = jnp.arange(tp, dtype=jnp.int32)
+    e_of_p = jnp.minimum(
+        jnp.searchsorted(offs[1:], p, side="right").astype(jnp.int32),
+        e - 1)
+    idx = p - offs[e_of_p]
+    valid = idx < gs[e_of_p]
+    src_sorted = starts[e_of_p] + jnp.where(valid, idx, 0)
+
     rows = jnp.arange(ts, dtype=jnp.int32)
     e_of_row = jnp.searchsorted(starts[1:], rows, side="right").astype(
         jnp.int32)
     padded_row = offs[e_of_row] + (rows - starts[e_of_row])
-    x_padded = jnp.zeros((tp, k), x_sorted.dtype).at[padded_row].set(
-        x_sorted)
+
     tile_starts = jnp.arange(mt, dtype=jnp.int32) * tm
     tile_e = jnp.minimum(
         jnp.searchsorted(offs[1:], tile_starts, side="right").astype(
             jnp.int32),
         e - 1)
-    return x_padded, padded_row, tile_e
+    return src_sorted, valid, padded_row, tile_e
 
 
 def _gmm1_act_kernel(
     tile_e_ref,  # scalar prefetch [MT]
     x_ref,  # [TM, K] int8
     xs_ref,  # [TM, 1] f32 per-row activation scale
-    wg_ref,  # [1, K, I] int8 (gate half)
-    wu_ref,  # [1, K, I] int8 (up half)
-    sg_ref,  # [1, 1, 1, I] f32 gate out-channel scales
-    su_ref,  # [1, 1, 1, I] f32 up out-channel scales
+    w13_ref,  # [1, K, 2I] int8 ([gate | up] halves, one MXU dot)
+    s13_ref,  # [1, 1, 2I] f32 out-channel scales
     o_ref,  # [TM, I] int8 requantized activation rows
     os_ref,  # [TM, 1] f32 per-row output scale
 ):
-    x8 = x_ref[...]
-    dims = (((1,), (0,)), ((), ()))
-    accg = jax.lax.dot_general(
-        x8, wg_ref[0], dims, preferred_element_type=jnp.int32)
-    accu = jax.lax.dot_general(
-        x8, wu_ref[0], dims, preferred_element_type=jnp.int32)
+    i = o_ref.shape[1]
+    acc = jax.lax.dot_general(
+        x_ref[...], w13_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)  # [TM, 2I]
     xs = xs_ref[...]  # [TM, 1]
-    g = accg.astype(jnp.float32) * xs * sg_ref[0, 0, 0][None, :]
-    u = accu.astype(jnp.float32) * xs * su_ref[0, 0, 0][None, :]
+    s13 = s13_ref[0, 0][None, :]  # [1, 2I]
+    z = acc.astype(jnp.float32) * xs * s13
+    g, u = z[:, :i], z[:, i:]
     act = (g * jax.lax.logistic(g)) * u  # silu(gate) * up, f32 in VMEM
     amax = jnp.max(jnp.abs(act), axis=-1, keepdims=True)
     s = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
@@ -104,7 +122,9 @@ def _gmm2_kernel(
                   * s2_ref[0, 0, 0][None, :]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn2", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("tm", "tn2", "interpret", "return_padded"))
 def moe_expert_pipeline_w8a8(
     x8_sorted: jax.Array,  # [Ts, K] int8 rows sorted by expert
     xs_sorted: jax.Array,  # [Ts, 1] f32 per-row scales
@@ -114,27 +134,44 @@ def moe_expert_pipeline_w8a8(
     w2_q: jax.Array,  # [E, I, H] int8
     w2_scale: jax.Array,  # [E, H] f32
     *,
+    out_gather_idx: jax.Array | None = None,  # [R] sorted-row indices
     tm: int = 512,
     tn2: int = 512,
     interpret: bool | None = None,
+    return_padded: bool = False,
 ) -> jax.Array:
-    """Sorted rows in, sorted bf16 expert outputs out ([Ts, H])."""
+    """Sorted rows in, bf16 expert outputs out.
+
+    Default return is ``[Ts, H]`` in sorted-row order. With
+    ``out_gather_idx`` the output rows are gathered as
+    ``y_sorted[out_gather_idx]`` in the SAME pass (callers fold their
+    finalize unpermute in, avoiding a second full-size gather). With
+    ``return_padded`` the raw ``([Tp, H], padded_row)`` pair is returned.
+    """
     ts, k = x8_sorted.shape
     e, _, i2 = w13_q.shape
     i = i2 // 2
     h = w2_q.shape[2]
+    # largest 128-multiple tile that divides h (ADVICE r3: h=896/1152/...
+    # are 128-multiples that 512 does not divide; terminate at 128)
     tn2 = min(tn2, h)
-    assert h % tn2 == 0 and i % 128 == 0 and k % 128 == 0
+    while h % tn2 != 0:
+        tn2 -= 128
+    assert tn2 >= 128 and i % 128 == 0 and k % 128 == 0
 
-    x_p, padded_row, tile_e = _pad_sorted_rows(x8_sorted, group_sizes, tm)
-    tp = x_p.shape[0]
+    src_sorted, valid, padded_row, tile_e = _padded_layout(
+        group_sizes, tm, ts)
+    tp = src_sorted.shape[0]
     mt = tp // tm
-    xs_p = jnp.zeros((tp, 1), jnp.float32).at[padded_row].set(
-        xs_sorted.astype(jnp.float32))
+    # gather (not scatter!) into the padded layout
+    x_p = jnp.where(valid[:, None], x8_sorted[src_sorted], 0)
+    xs_p = jnp.where(valid[:, None],
+                     xs_sorted.astype(jnp.float32)[src_sorted], 0.0)
+
     # Mosaic requires the last TWO block dims to equal the array dims (or
-    # be (8,128)-divisible): scale tables ride as 4-D [E, halves/tiles, 1,
-    # cols] so each (1,1,1,cols) block satisfies that exactly.
-    s13_4d = w13_scale.astype(jnp.float32).reshape(e, 2, 1, i)
+    # be (8,128)-divisible): the w13 scale table rides as 3-D [E, 1, 2I]
+    # so each (1,1,2I) block satisfies that; w2 scales as 4-D tiles.
+    s13_3d = w13_scale.astype(jnp.float32).reshape(e, 1, i2)
     s2_4d = w2_scale.astype(jnp.float32).reshape(
         e, h // tn2, 1, tn2)
 
@@ -145,10 +182,8 @@ def moe_expert_pipeline_w8a8(
         in_specs=[
             pl.BlockSpec((tm, k), lambda m, te: (m, 0)),
             pl.BlockSpec((tm, 1), lambda m, te: (m, 0)),
-            pl.BlockSpec((1, k, i), lambda m, te: (te[m], 0, 0)),
-            pl.BlockSpec((1, k, i), lambda m, te: (te[m], 0, 1)),
-            pl.BlockSpec((1, 1, 1, i), lambda m, te: (te[m], 0, 0, 0)),
-            pl.BlockSpec((1, 1, 1, i), lambda m, te: (te[m], 1, 0, 0)),
+            pl.BlockSpec((1, k, i2), lambda m, te: (te[m], 0, 0)),
+            pl.BlockSpec((1, 1, i2), lambda m, te: (te[m], 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((tm, i), lambda m, te: (m, 0)),
@@ -165,7 +200,7 @@ def moe_expert_pipeline_w8a8(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interp,
-    )(tile_e, x_p, xs_p, w13_q, w13_q, s13_4d, s13_4d)
+    )(tile_e, x_p, xs_p, w13_q, s13_3d)
 
     g2 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -187,4 +222,8 @@ def moe_expert_pipeline_w8a8(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interp,
     )(tile_e, inter8, inter_s, w2_q, s2_4d)
+    if return_padded:
+        return y_p, padded_row
+    if out_gather_idx is not None:
+        return y_p[padded_row[out_gather_idx]]
     return y_p[padded_row]

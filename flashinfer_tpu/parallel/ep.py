@@ -12,19 +12,23 @@ Algorithms (reference LL vs HT):
 * ``algo="ll"`` (latency): capacity-bounded buffers sized for the
   expected load; over-capacity assignments are masked out and COUNTED
   (``n_dropped`` — never silent).
-* ``algo="ht"`` (throughput): capacity = α·average (α=1.5, VERDICT r2
-  #5) with a COUNT EXCHANGE — per-destination send counts ride a tiny
+* ``algo="ht"`` (throughput, the default): DROP-FREE worst-case buffers
+  (capacity = T·K). Learned top-k routing is skewed in the normal case,
+  so the default must never lose assignments (ADVICE r3 high).
+* ``algo="ht_bounded"`` (opt-in): capacity = α·average (α=1.5, VERDICT
+  r2 #5) with a COUNT EXCHANGE — per-destination send counts ride a tiny
   [ep] all-to-all so every rank knows exactly how many rows it received,
   drops are detected exactly (count-verified), and the caller repairs by
   re-running at worst-case capacity (host-side retrace, serving-rare).
-  Buffer bytes ≈ 1.5× useful bytes instead of the old ep× worst case.
-* ``algo="ht_worst"``: the old drop-free worst-case (capacity = T·K)
-  for callers that cannot tolerate the repair path.
+  Buffer bytes ≈ 1.5× useful bytes instead of the ep× worst case.
+  REQUIRES ``return_stats=True`` so drops are never silent.
+* ``algo="ht_worst"``: deprecated alias of ``"ht"``.
 * ``transport="ragged"``: exact-size `jax.lax.ragged_all_to_all` —
   bytes moved == bytes useful (the reference HT's count-exchange + exact
-  transfers, trtllm_alltoall.cuh:500-850). XLA:TPU only (the CPU
-  ThunkEmitter lacks the op, so the virtual-mesh dryrun uses the dense
-  α-capacity transport).
+  transfers, trtllm_alltoall.cuh:500-850). The native op is XLA:TPU
+  only; on other backends a semantics-exact all_gather emulation
+  (:func:`_ragged_a2a_emulated`) carries the SAME offset algebra so CPU
+  tests and the virtual-mesh dryrun exercise it end-to-end.
 
 Fault tolerance: a boolean ``alive`` mask over ranks — assignments routed
 to masked ranks are dropped-and-counted while the collective completes on
@@ -83,6 +87,55 @@ def ep_exchange_counts(counts: jax.Array, axis: str) -> jax.Array:
         tiled=True).reshape(ep)
 
 
+def _ragged_a2a_emulated(
+    rows: jax.Array,  # [R, C] send rows (dest-sorted blocks)
+    out_buf: jax.Array,  # [cap, C] output operand (untouched rows keep it)
+    in_offs: jax.Array,  # [ep] where each dest's block starts in `rows`
+    send_counts: jax.Array,  # [ep]
+    out_offs: jax.Array,  # [ep] where MY block starts at each dest
+    recv_counts: jax.Array,  # [ep]
+    axis: str,
+) -> jax.Array:
+    """Semantics-exact emulation of `jax.lax.ragged_all_to_all` built from
+    `all_gather` + gathers, for backends without the op (XLA:CPU's
+    ThunkEmitter). Deliberately consumes the EXCHANGED ``out_offs`` (not
+    the locally recomputed recv offsets) so the double count-exchange
+    offset algebra is exercised end-to-end in CPU tests and the dryrun
+    (VERDICT r3 #5). Bytes moved are NOT exact here (full all_gather) —
+    this is a correctness vehicle only; real TPU meshes use the native op.
+    """
+    ep = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    rows_g = jax.lax.all_gather(rows, axis)  # [ep, R, C]
+    ino_g = jax.lax.all_gather(in_offs, axis)  # [ep, ep]
+    cnt_g = jax.lax.all_gather(send_counts, axis)  # [ep, ep]
+    oo_g = jax.lax.all_gather(out_offs, axis)  # [ep, ep]
+    cap = out_buf.shape[0]
+    p = jnp.arange(cap, dtype=jnp.int32)
+    my_oo = oo_g[:, me]  # src s's block starts at my_oo[s] in MY buffer
+    # blocks are contiguous ascending by src rank; zero-count sources
+    # share an offset with their successor and lose the searchsorted tie
+    src = jnp.clip(
+        jnp.searchsorted(my_oo, p, side="right").astype(jnp.int32) - 1,
+        0, ep - 1)
+    idx = p - my_oo[src]
+    valid = jnp.logical_and(idx >= 0, idx < cnt_g[src, me])
+    src_row = ino_g[src, me] + jnp.where(valid, idx, 0)
+    vals = rows_g[src, src_row]
+    return jnp.where(valid[:, None], vals, out_buf)
+
+
+def _ragged_a2a(rows, out_buf, in_offs, send_counts, out_offs,
+                recv_counts, axis):
+    """Native `ragged_all_to_all` on TPU; emulation elsewhere."""
+    if jax.default_backend() == "tpu":
+        return jax.lax.ragged_all_to_all(
+            rows, out_buf, in_offs, send_counts, out_offs, recv_counts,
+            axis_name=axis)
+    return _ragged_a2a_emulated(
+        rows, out_buf, in_offs, send_counts, out_offs, recv_counts, axis)
+
+
 def ep_dispatch_ragged(
     hidden: jax.Array,  # [T_local, H]
     topk_ids: jax.Array,  # [T_local, K] global expert ids
@@ -117,12 +170,12 @@ def ep_dispatch_ragged(
     # receiver-local offsets back through the same tiny all-to-all
     out_offs = ep_exchange_counts(recv_offs, axis)
 
-    x_recv = jax.lax.ragged_all_to_all(
+    x_recv = _ragged_a2a(
         rows, jnp.zeros((recv_capacity, h), hidden.dtype),
-        in_offs, send_counts, out_offs, recv_counts, axis_name=axis)
-    eid_recv = jax.lax.ragged_all_to_all(
+        in_offs, send_counts, out_offs, recv_counts, axis)
+    eid_recv = _ragged_a2a(
         eid_rows[:, None], jnp.full((recv_capacity, 1), -1, jnp.int32),
-        in_offs, send_counts, out_offs, recv_counts, axis_name=axis)[:, 0]
+        in_offs, send_counts, out_offs, recv_counts, axis)[:, 0]
     return x_recv, eid_recv, recv_counts, order, send_counts
 
 
@@ -141,9 +194,9 @@ def ep_combine_ragged(
     h = y_recv_order.shape[1]
     recv_offs = _exclusive_cumsum(recv_counts)
     ret_offs = ep_exchange_counts(_exclusive_cumsum(send_counts), axis)
-    y_back = jax.lax.ragged_all_to_all(
+    y_back = _ragged_a2a(
         y_recv_order, jnp.zeros((t * k, h), y_recv_order.dtype),
-        recv_offs, recv_counts, ret_offs, send_counts, axis_name=axis)
+        recv_offs, recv_counts, ret_offs, send_counts, axis)
     inv = jnp.zeros((t * k,), jnp.int32).at[order].set(
         jnp.arange(t * k, dtype=jnp.int32))
     gathered = y_back[inv].reshape(t, k, h)
@@ -235,7 +288,7 @@ def moe_ep_forward(
     *,
     num_experts: int,
     capacity: int | None = None,
-    algo: str = "ht",  # "ht"=1.5x-avg count-verified; "ht_worst"; "ll"
+    algo: str = "ht",  # "ht"=drop-free; "ht_bounded"=1.5x-avg; "ll"
     alive: jax.Array | None = None,  # [ep] rank-health mask
     activation=silu_and_mul,
     return_stats: bool = False,
@@ -246,20 +299,27 @@ def moe_ep_forward(
     The local expert compute sorts received tokens by expert and uses
     `lax.ragged_dot` (MXU grouped matmul), mirroring the reference's
     dispatch→grouped-GEMM→combine Split pipeline (moe_ep/layer.py:19).
-    ``algo="ht"`` sizes buffers for worst-case skew (NO token can be
-    dropped); ``algo="ll"`` uses 2x-average bounded buffers with
-    overflow accounting. With ``return_stats`` the (out, n_dropped)
-    pair is returned.
+    ``algo="ht"`` (default) sizes buffers for worst-case skew (NO token
+    can be dropped); ``algo="ht_bounded"`` uses 1.5x-average buffers with
+    count-verified drop accounting (requires ``return_stats``);
+    ``algo="ll"`` uses 2x-average bounded buffers with overflow
+    accounting. With ``return_stats`` the (out, n_dropped, n_recv,
+    buffer_rows) tuple is returned.
     """
     ep_static = w13_local.shape[0] and num_experts // w13_local.shape[0]
     t, k = topk_ids.shape
+    if algo == "ht_bounded" and not return_stats:
+        raise ValueError(
+            "algo='ht_bounded' drops over-capacity assignments; "
+            "return_stats=True is required so drops are never silent "
+            "(use algo='ht' for the drop-free default)")
     if capacity is None:
-        if algo == "ht_worst":
-            capacity = t * k  # worst case: every assignment to one rank
-        elif algo == "ht":
+        if algo in ("ht", "ht_worst"):
+            capacity = t * k  # drop-free: every assignment to one rank
+        elif algo == "ht_bounded":
             # α=1.5 x average per-pair load (VERDICT r2 #5): buffer bytes
             # ~1.5x useful instead of ep x; skew drops are count-verified
-            # and the caller repairs at ht_worst capacity
+            # and the caller repairs at worst-case ("ht") capacity
             capacity = max(8, (-(-3 * t * k // (2 * max(ep_static, 1)))
                                + 7) // 8 * 8)
             capacity = min(capacity, t * k)
@@ -268,6 +328,13 @@ def moe_ep_forward(
     e_local = w13_local.shape[0]
 
     if transport == "ragged":
+        # ADVICE r3 medium: the ragged transport has no capacity bound
+        # (exact-size transfers) and does not implement rank masking —
+        # refuse rather than silently dispatch to dead ranks.
+        if alive is not None:
+            raise NotImplementedError(
+                "transport='ragged' does not support the alive rank-health"
+                " mask; use the dense transport for fault-tolerant EP")
         return _moe_ep_forward_ragged(
             hidden, topk_ids, topk_weights, w13_local, w2_local, axis,
             num_experts=num_experts, activation=activation,
@@ -372,9 +439,9 @@ class MoEEpLayer:
 
     def __init__(self, num_experts: int, ep_size: int, axis: str = "ep",
                  *, algo: str = "ht", capacity: int | None = None):
-        if algo not in ("ht", "ht_worst", "ll"):
+        if algo not in ("ht", "ht_bounded", "ht_worst", "ll"):
             raise ValueError(
-                f"algo must be ht|ht_worst|ll, got {algo!r}")
+                f"algo must be ht|ht_bounded|ht_worst|ll, got {algo!r}")
         self.num_experts = num_experts
         self.ep_size = ep_size
         self.axis = axis

@@ -270,7 +270,7 @@ def test_ep_ht_count_verified_buffers():
 
     fn = shard_map(
         functools.partial(
-            moe_ep_forward, axis="ep", num_experts=e, algo="ht",
+            moe_ep_forward, axis="ep", num_experts=e, algo="ht_bounded",
             return_stats=True),
         mesh=mesh,
         in_specs=(P("ep"), P("ep"), P("ep"), P("ep"), P("ep")),
