@@ -43,6 +43,7 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 ROW_BLOCK = 128  # default q rows per tile = tokens * gqa_group
 KV_BLOCK = 128  # default kv positions per chunk
+SUB_TAIL = 128  # fine-tail sub-chunk width (final causal chunk)
 
 # TPU defaults: larger tiles amortize per-grid-step overhead (the dominant
 # cost at small tiles — measured 1.3 us/step); the interpreter keeps small
@@ -1114,6 +1115,10 @@ def _prefill_kernel_hm(
     # becomes the NN-form q[rb,d] @ kT[d,kb] — the NT form costs an MXU
     # operand transpose per chunk, measured 2.1x whole-kernel time
     pv_split: int = 1,  # >1: interleave exp/PV halves (hide exp VPU time)
+    fine_tail: bool = True,  # process the final chunk in 128-wide
+    # sub-chunks: the ceil-to-kb quantization otherwise computes an
+    # average of ~kb/2 wasted columns of QK+PV per tile (VERDICT r2 #3
+    # causal-boundary recovery); auto-disabled for variants/debug probes
 ):
     """Streaming prefill v2 (TPU production path).
 
@@ -1330,11 +1335,44 @@ def _prefill_kernel_hm(
             preferred_element_type=jnp.float32,
         )  # [RB, D]
 
+    def qk_sub(slot, chunk, col0):
+        """QK on a SUB_TAIL-wide column slice of the chunk (fine_tail)."""
+        if kt_layout:
+            kt = k_buf[slot, :, pl.ds(col0, SUB_TAIL)]  # [D, SUB]
+            if kt.dtype != compute_dtype:
+                kt = kt.astype(compute_dtype)
+            return jax.lax.dot_general(
+                q, kt, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [RB, SUB]
+        k = k_buf[slot, pl.ds(col0, SUB_TAIL)]  # [SUB, D]
+        if rope_theta > 0.0:
+            from .pallas_decode import _rope_rows_merged
+
+            kpos_col = (chunk * kb + col0 + jax.lax.broadcasted_iota(
+                jnp.int32, (SUB_TAIL, 1), 0))
+            k = _rope_rows_merged(k, kpos_col, rope_theta, rope_scale, 1, d)
+        if k.dtype != compute_dtype:
+            k = k.astype(compute_dtype)
+        return jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [RB, SUB]
+
     rows_tok = q_pos0 + jax.lax.broadcasted_iota(
         jnp.int32, (rb, kb), 0) // group
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (rb, kb), 1)
 
-    def update(s, chunk, m_prev, l_prev, acc, slot, *, masked):
+    def update(s, chunk, m_prev, l_prev, acc, slot, *, masked,
+               col0=0, width=None):
+        # width=None: the full kb-wide chunk; else a width-wide sub-chunk
+        # of the chunk at column offset col0 (fine_tail epilogue)
+        if width is None:
+            rows_tok_w, cols_w, w_ = rows_tok, cols_i, kb
+        else:
+            w_ = width
+            rows_tok_w = q_pos0 + jax.lax.broadcasted_iota(
+                jnp.int32, (rb, w_), 0) // group
+            cols_w = col0 + jax.lax.broadcasted_iota(
+                jnp.int32, (rb, w_), 1)
         if debug_skip == "softmax":
             return m_prev, l_prev, acc + pv(s * 0.001, slot)
         if debug_skip == "pv":
@@ -1344,20 +1382,20 @@ def _prefill_kernel_hm(
             l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
             return m_new, l_new, acc * alpha + p[:, :d]
         if masked:
-            kv_pos = chunk * kb + cols_i
+            kv_pos = chunk * kb + cols_w
             if use_alibi:
                 slope = aux_ref[0, :, 1:2] * log2e
-                s = s + slope * (kv_pos - (rows_tok + diag)).astype(
+                s = s + slope * (kv_pos - (rows_tok_w + diag)).astype(
                     jnp.float32)
             if logits_soft_cap > 0.0:
                 cap = logits_soft_cap * log2e
                 s = cap * jnp.tanh(s / cap)
-            mask = jnp.logical_and(kv_pos < kv_len, rows_tok < qo_len)
+            mask = jnp.logical_and(kv_pos < kv_len, rows_tok_w < qo_len)
             if causal:
-                mask = jnp.logical_and(mask, kv_pos <= rows_tok + diag)
+                mask = jnp.logical_and(mask, kv_pos <= rows_tok_w + diag)
             if window_left >= 0:
                 mask = jnp.logical_and(
-                    mask, kv_pos >= rows_tok + diag - window_left)
+                    mask, kv_pos >= rows_tok_w + diag - window_left)
             if variant is not None:
                 info = make_info(chunk, kv_pos=kv_pos)
                 if variant.logits_transform is not None:
@@ -1380,7 +1418,7 @@ def _prefill_kernel_hm(
         alpha = fexp(m_prev - m_new)
         # masked scores sit at DEFAULT_MASK_VALUE: exp underflows to 0.0
         # for any row with a valid column — no masked-p pass needed
-        if pv_split > 1:
+        if pv_split > 1 and width is None:
             # interleave exp halves with PV halves: the second half's VPU
             # exp dual-issues under the first half's MXU matmul
             h_w = kb // pv_split
@@ -1393,7 +1431,7 @@ def _prefill_kernel_hm(
             return m_new, l_new, acc_new
         p = fexp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * alpha + pv(p, slot)
+        acc_new = acc * alpha + pv(p, slot, col0=col0, width=width)
         return m_new, l_new, acc_new
 
     def make_body(masked):
@@ -1435,14 +1473,73 @@ def _prefill_kernel_hm(
     m0 = jnp.full((rb, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((rb, 1), jnp.float32)
     acc0 = jnp.zeros((rb, d), jnp.float32)
-    carry = jax.lax.fori_loop(
-        0, n_clean, make_body(False), (m0, l0, acc0, s0))
-    carry = jax.lax.fori_loop(
-        n_clean, n_chunks - 1, make_body(True), carry)
-    m, l, acc, s_last = carry
-    # epilogue: the final chunk (always masked — diagonal / kv edge)
-    m, l, acc = update(
-        s_last, n_chunks - 1, m, l, acc, slot_of(n_chunks - 1), masked=True)
+
+    use_fine_tail = (fine_tail and variant is None and debug_skip is None
+                     and kb > SUB_TAIL)
+    if not use_fine_tail:
+        carry = jax.lax.fori_loop(
+            0, n_clean, make_body(False), (m0, l0, acc0, s0))
+        carry = jax.lax.fori_loop(
+            n_clean, n_chunks - 1, make_body(True), carry)
+        m, l, acc, s_last = carry
+        # epilogue: the final chunk (always masked — diagonal / kv edge)
+        m, l, acc = update(
+            s_last, n_chunks - 1, m, l, acc, slot_of(n_chunks - 1),
+            masked=True)
+    else:
+        # fine-tail epilogue: the loops stop one chunk earlier (so the
+        # s-carry never spends MXU time on the final chunk's full width),
+        # chunk L = n_chunks-2 is updated from the carry, and the final
+        # chunk runs as ceil(rem/128) 128-wide sub-chunks — the
+        # ceil-to-kb quantization waste (avg ~kb/2 cols of QK+PV per
+        # tile) drops to ~SUB/2.
+        last = n_chunks - 1
+        l_mid = jnp.maximum(last - 1, 0)  # chunk whose scores ride the carry
+        carry = jax.lax.fori_loop(
+            0, jnp.minimum(n_clean, l_mid), make_body(False),
+            (m0, l0, acc0, s0))
+        carry = jax.lax.fori_loop(
+            jnp.minimum(n_clean, l_mid), l_mid, make_body(True), carry)
+        m, l, acc, s_mid = carry
+
+        # the final chunk's DMA is already in flight (issued by the body
+        # at c = last-2, or by _pf1 when n_chunks == 2); overlap its wait
+        # with nothing — it has had a whole chunk of time
+        @pl.when(n_chunks > 1)
+        def _wait_last():
+            wait(slot_of(last))
+
+        # this grid step's successor: the old body fired it at
+        # c + 2 == n_chunks, an iteration that no longer runs
+        @pl.when(n_chunks > 1)
+        def _cross_fine():
+            cross_work_issue()
+
+        # chunk l_mid from the carry (masked=True is semantically a no-op
+        # when the chunk is clean; costs one chunk of mask VPU work)
+        m, l, acc = update(
+            s_mid, l_mid, m, l, acc, slot_of(l_mid), masked=True)
+
+        if causal:
+            tile_end = jnp.minimum(q_pos0 + tq_tokens, qo_len) - 1
+            eff = jnp.minimum(kv_len, tile_end + diag + 1)
+        else:
+            eff = kv_len
+        rem = jnp.maximum(eff, 1) - last * kb  # in (0, kb]
+        n_sub = jnp.where(
+            n_chunks > 1,
+            jax.lax.div(rem + SUB_TAIL - 1, SUB_TAIL), 0)
+
+        lslot = slot_of(last)
+
+        def sub_body(j, carry):
+            m, l, acc = carry
+            col0 = j * SUB_TAIL
+            s_j = qk_sub(lslot, last, col0)
+            return update(s_j, last, m, l, acc, lslot, masked=True,
+                          col0=col0, width=SUB_TAIL)
+
+        m, l, acc = jax.lax.fori_loop(0, n_sub, sub_body, (m, l, acc))
 
     if use_sinks:
         sink = aux_ref[0, :, 0:1] * log2e  # sinks live in logit space
@@ -1504,6 +1601,7 @@ def prefill_packed_hm(
     debug_skip: str | None = None,
     kt_layout: bool = False,  # k_hm is the [H, D, R] transposed pool
     pv_split: int = 1,
+    fine_tail: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Prefill v2: per-head grid, software-pipelined chunk loop, KV
     streamed from the 8-aligned head-major pool.
@@ -1547,6 +1645,7 @@ def prefill_packed_hm(
         emit_events=env.kernel_events and not interp,
         use_exp2=bool(use_exp2), debug_skip=debug_skip,
         kt_layout=bool(kt_layout), pv_split=int(pv_split),
+        fine_tail=bool(fine_tail),
     )
     # sinks/alibi unused: shrink the per-step aux transfer to one tile
     # (a full [rb, 128] f32 block per grid step is ~67 MB of dead DMA
@@ -1624,6 +1723,8 @@ def run_prefill(
     rope_theta: float = 0.0,  # > 0: kernel rotates K on the fly (q is
     rope_scale: float = 1.0,  # expected pre-roped by the caller)
     use_exp2: bool = True,  # log2-domain softmax in the v2 kernel
+    pv_split: int = 1,  # v2 kernel: interleave exp/PV in pv_split halves
+    fine_tail: bool = True,  # v2: 128-wide sub-chunks on the final chunk
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Pack layouts, run the kernel, unpack back to ragged.
@@ -1752,7 +1853,8 @@ def run_prefill(
         out_p4, lse4 = prefill_packed_hm(
             qp4, k_hm, v_hm, aux, work_arrays, variant=variant,
             rope_theta=rope_theta, rope_scale=rope_scale,
-            use_exp2=use_exp2, kt_layout=kt, **common_hm
+            use_exp2=use_exp2, kt_layout=kt, pv_split=pv_split,
+            fine_tail=fine_tail, **common_hm
         )
         out = out_p4.reshape(plan.tq_pad, num_q_heads, head_dim)
         lse = lse4[:, :, :, 0].reshape(plan.tq_pad, num_q_heads)
