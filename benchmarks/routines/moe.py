@@ -17,25 +17,30 @@ def _make_inputs(num_tokens, hidden, intermediate, num_experts, top_k,
                  expert_dtype):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((num_tokens, hidden)), jnp.bfloat16)
-    w13f = rng.standard_normal(
-        (num_experts, hidden, 2 * intermediate)).astype(np.float32) * 0.05
-    w2f = rng.standard_normal(
-        (num_experts, intermediate, hidden)).astype(np.float32) * 0.05
+    # int8 experts are built host-side WITHOUT materializing f32 weights on
+    # device: at DSv3-like geometry (e64 x h7168) the f32 originals alone
+    # are ~11 GB and OOM the 16 GB HBM (measured r4)
+    if expert_dtype in ("int8", "w8a8"):
+        w13_np = rng.integers(
+            -127, 128, (num_experts, hidden, 2 * intermediate), np.int8)
+        w2_np = rng.integers(
+            -127, 128, (num_experts, intermediate, hidden), np.int8)
+        w13 = jnp.asarray(w13_np, jnp.int8)
+        w2 = jnp.asarray(w2_np, jnp.int8)
     scales = {}
     if expert_dtype == "int8":
-        w13 = jnp.asarray(np.clip(np.round(w13f / 4e-4), -127, 127), jnp.int8)
-        w2 = jnp.asarray(np.clip(np.round(w2f / 4e-4), -127, 127), jnp.int8)
         scales = dict(w13_scale=jnp.full((num_experts,), 4e-4, jnp.float32),
                       w2_scale=jnp.full((num_experts,), 4e-4, jnp.float32))
     elif expert_dtype == "w8a8":
-        from flashinfer_tpu.ops.moe import quantize_moe_weights_int8
-
-        w13, s13, w2, s2 = quantize_moe_weights_int8(
-            jnp.asarray(w13f), jnp.asarray(w2f))
-        scales = dict(w13_scale=s13, w2_scale=s2)
+        scales = dict(
+            w13_scale=jnp.full((num_experts, 2 * intermediate), 4e-4,
+                               jnp.float32),
+            w2_scale=jnp.full((num_experts, hidden), 4e-4, jnp.float32))
     else:
-        w13 = jnp.asarray(w13f, jnp.bfloat16)
-        w2 = jnp.asarray(w2f, jnp.bfloat16)
+        w13 = jnp.asarray(rng.standard_normal(
+            (num_experts, hidden, 2 * intermediate)) * 0.05, jnp.bfloat16)
+        w2 = jnp.asarray(rng.standard_normal(
+            (num_experts, intermediate, hidden)) * 0.05, jnp.bfloat16)
     ids = jnp.asarray(rng.integers(0, num_experts, (num_tokens, top_k)),
                       jnp.int32)
     wts = jnp.full((num_tokens, top_k), 1.0 / top_k, jnp.float32)
@@ -156,4 +161,41 @@ def bench_fused_moe_phases(
     deltas = [times[0]] + [times[i] - times[i - 1] for i in range(1, 5)]
     out["phase_ms"] = {n: round(max(d, 0.0) * 1e3, 3)
                        for n, d in zip(names, deltas)}
+
+    if w8a8:
+        # Pallas-pipeline attribution (r4): glue (quant+sort+prologue) vs
+        # the fused kernels — the phases above describe the XLA form only
+        from flashinfer_tpu.ops.moe import fused_moe_w8a8
+        from flashinfer_tpu.ops.moe_pallas import moe_expert_pipeline_w8a8
+
+        def full_pallas(x_cur, w13, w2, ids, wts):
+            return fused_moe_w8a8(
+                x_cur, w13, scales["w13_scale"], w2, scales["w2_scale"],
+                ids, wts, impl="pallas").astype(x_cur.dtype)
+
+        t_full = bench_loop(full_pallas, x, w13, w2, ids, wts,
+                            iters=24, base_iters=4)
+        xf = x.astype(jnp.float32)
+        s_a = jnp.maximum(jnp.max(jnp.abs(xf), -1, keepdims=True),
+                          1e-8) / 127.0
+        x8 = jnp.round(xf / s_a).astype(jnp.int8)
+        flat = ids.reshape(-1)
+        sort_idx = jnp.argsort(flat)
+        row_token = sort_idx // top_k
+        gs = jnp.bincount(flat[sort_idx], length=e).astype(jnp.int32)
+        x8s = x8[row_token]
+        xss = s_a[row_token]
+
+        def pipe_only(x8c, xss, gs, w13, s13, w2, s2):
+            y = moe_expert_pipeline_w8a8(x8c, xss, gs, w13, s13, w2, s2)
+            return jnp.clip(y[:, :x8c.shape[1]], -127, 127
+                            ).astype(jnp.int8)
+
+        t_pipe = bench_loop(
+            pipe_only, x8s, xss, gs, w13,
+            scales["w13_scale"].astype(jnp.float32), w2,
+            scales["w2_scale"].astype(jnp.float32), iters=24, base_iters=4)
+        out["pallas_full_ms"] = round(t_full * 1e3, 3)
+        out["pallas_pipe_ms"] = round(t_pipe * 1e3, 3)
+        out["pallas_glue_ms"] = round(max(t_full - t_pipe, 0.0) * 1e3, 3)
     return out

@@ -1115,7 +1115,7 @@ def _prefill_kernel_hm(
     # becomes the NN-form q[rb,d] @ kT[d,kb] — the NT form costs an MXU
     # operand transpose per chunk, measured 2.1x whole-kernel time
     pv_split: int = 1,  # >1: interleave exp/PV halves (hide exp VPU time)
-    fine_tail: bool = True,  # process the final chunk in 128-wide
+    fine_tail: bool = False,  # process the final chunk in 128-wide
     # sub-chunks: the ceil-to-kb quantization otherwise computes an
     # average of ~kb/2 wasted columns of QK+PV per tile (VERDICT r2 #3
     # causal-boundary recovery); auto-disabled for variants/debug probes
@@ -1601,7 +1601,7 @@ def prefill_packed_hm(
     debug_skip: str | None = None,
     kt_layout: bool = False,  # k_hm is the [H, D, R] transposed pool
     pv_split: int = 1,
-    fine_tail: bool = True,
+    fine_tail: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Prefill v2: per-head grid, software-pipelined chunk loop, KV
     streamed from the 8-aligned head-major pool.
@@ -1724,7 +1724,9 @@ def run_prefill(
     rope_scale: float = 1.0,  # expected pre-roped by the caller)
     use_exp2: bool = True,  # log2-domain softmax in the v2 kernel
     pv_split: int = 1,  # v2 kernel: interleave exp/PV in pv_split halves
-    fine_tail: bool = True,  # v2: 128-wide sub-chunks on the final chunk
+    fine_tail: bool = False,  # v2: 128-wide sub-chunks on the final chunk
+    # (measured r4 on-draw: neutral at kb=512, negative at kb=1024 — the
+    # sub-loop serialization eats the ~9% MXU savings; kept as a knob)
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Pack layouts, run the kernel, unpack back to ragged.

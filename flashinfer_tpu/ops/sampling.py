@@ -96,71 +96,67 @@ def _threshold_search(
     return lo
 
 
-_CANDIDATES = 4096  # top-M prefilter width (covers serving k/p configs)
-
-
-def _candidates(probs: jax.Array) -> jax.Array:
-    """Descending top-M values per row (exact, one lax.top_k pass).
-
-    TPU re-design of the reference's dual-pivot rejection rounds
-    (sampling.cuh:1202): instead of O(32) full-vocab masked reductions,
-    ONE top-M pass yields sorted candidates from which every k ≤ M and
-    every nucleus contained in the candidates resolves EXACTLY; the rare
-    uncovered rows take an always-run (fully fused, ~free) binary-search
-    fallback via jnp.where."""
-    m = min(probs.shape[-1], _CANDIDATES)
-    return jax.lax.top_k(probs, m)[0]
-
-
 def _top_k_threshold(probs: jax.Array, top_k: jax.Array,
-                     vals: jax.Array | None = None) -> jax.Array:
+                     vals=None) -> jax.Array:
     """tau = the k-th largest probability (exact): {p >= tau} has >= k
-    elements (ties included, reference semantics)."""
+    elements (ties included, reference semantics).
+
+    Direct 32-step bisection (the r2 design, restored in r4): each step
+    is one masked count over the [B, V] operand, which XLA keeps
+    VMEM-resident — the whole b64x128k sampling step measured 0.55 ms
+    this way. The r3 "one lax.top_k(4096) candidates pass" replacement
+    was never perf-verified and measured 10.3 ms on hardware in r4:
+    lax.top_k at large k lowers to an iterative partial sort on TPU.
+    """
+    del vals
     k_arr = jnp.asarray(top_k, jnp.int32).reshape(-1, 1)
-    if vals is None:
-        vals = _candidates(probs)
-    m = vals.shape[-1]
-    kc = jnp.clip(k_arr, 1, m)
-    tau = jnp.take_along_axis(vals, kc - 1, axis=-1)
-    if m == probs.shape[-1]:
-        return tau
-    # k beyond the candidate set: exact per-row fallback via search.
-    # ALWAYS run it and where-select — NEVER lax.cond: a data-dependent
-    # cond around the fori_loop search blocked XLA's VMEM-residency
-    # fusion (measured r3: 9.5 ms runtime + 365 s compile vs 0.03 ms /
-    # 10 s for the unconditional form; the always-run search fuses with
-    # the top_k pass into the same vocab sweep and is free).
-    covered = k_arr <= m
 
     def keep(t):
         return jnp.sum(probs >= t, axis=-1, keepdims=True) >= k_arr
 
-    return jnp.where(covered, tau, _threshold_search(probs, keep))
+    return _threshold_search(probs, keep)
 
 
 def _top_p_threshold(probs: jax.Array, top_p: jax.Array,
-                     vals: jax.Array | None = None) -> jax.Array:
-    """Largest tau with mass{p >= tau} >= top_p: exact from the sorted
-    candidate prefix whenever the candidates cover mass top_p."""
+                     vals=None) -> jax.Array:
+    """Largest tau with mass{p >= tau} >= top_p, by direct bisection
+    (see _top_k_threshold for why not a candidates pass)."""
+    del vals
     p_arr = jnp.asarray(top_p, jnp.float32).reshape(-1, 1)
-    if vals is None:
-        vals = _candidates(probs)
-    m = vals.shape[-1]
-    csum = jnp.cumsum(vals, axis=-1)
-    # first index where cumulative mass reaches p (ties: smallest set)
-    idx = jnp.sum((csum < p_arr).astype(jnp.int32), axis=-1, keepdims=True)
-    tau = jnp.take_along_axis(vals, jnp.minimum(idx, m - 1), axis=-1)
-    if m == probs.shape[-1]:
-        return tau
-    covered = (idx < m) | (csum[:, -1:] >= p_arr)
 
-    # always-run fallback + where (no lax.cond — see _top_k_threshold)
     def keep(t):
         mass = jnp.sum(jnp.where(probs >= t, probs, 0.0), axis=-1,
                        keepdims=True)
         return mass >= p_arr
 
-    return jnp.where(covered, tau, _threshold_search(probs, keep))
+    return _threshold_search(probs, keep)
+
+
+def _joint_thresholds(probs: jax.Array, k_arr: jax.Array,
+                      p_arr: jax.Array, iters: int = 32):
+    """Both thresholds in ONE fused sweep per iteration: the count
+    (top-k) and mass (top-p) bisections carry their bounds through the
+    same fori_loop, so XLA reads the [B, V] operand once per step
+    instead of twice (the reference's joint dual-pivot kernel role,
+    sampling.cuh:1202)."""
+    hi0 = jnp.max(probs, axis=-1, keepdims=True)
+    z = jnp.zeros_like(hi0)
+
+    def body(_, st):
+        lo_k, hi_k, lo_p, hi_p = st
+        mid_k = (lo_k + hi_k) * 0.5
+        mid_p = (lo_p + hi_p) * 0.5
+        cnt = jnp.sum((probs >= mid_k).astype(jnp.int32), axis=-1,
+                      keepdims=True)
+        mass = jnp.sum(jnp.where(probs >= mid_p, probs, 0.0), axis=-1,
+                       keepdims=True)
+        okk = cnt >= k_arr
+        okp = mass >= p_arr
+        return (jnp.where(okk, mid_k, lo_k), jnp.where(okk, hi_k, mid_k),
+                jnp.where(okp, mid_p, lo_p), jnp.where(okp, hi_p, mid_p))
+
+    lo_k, _, lo_p, _ = jax.lax.fori_loop(0, iters, body, (z, hi0, z, hi0))
+    return lo_k, lo_p
 
 
 def sampling_from_probs(
@@ -297,21 +293,16 @@ def top_k_top_p_sampling_from_probs(
     k_arr = jnp.broadcast_to(jnp.asarray(top_k), (batch,))
     p_arr = jnp.broadcast_to(jnp.asarray(top_p), (batch,))
     if filter_apply_order == "top_k_first":
-        # ONE top-M candidates pass serves both thresholds: the kept set
-        # {p >= tau_k} is a prefix of the sorted candidates (k <= M), so
-        # the renormalized nucleus threshold reads off the same prefix
-        vals = _candidates(pf)
-        tau_k = _top_k_threshold(pf, k_arr, vals)
+        tau_k = _top_k_threshold(pf, k_arr)
         pk = jnp.where(pf >= tau_k, pf, 0.0)
         z = jnp.maximum(jnp.sum(pk, -1, keepdims=True), 1e-38)
         pk = pk / z
-        vk = jnp.where(vals >= tau_k, vals, 0.0) / z  # sorted prefix of pk
-        tau_p = _top_p_threshold(pk, p_arr, vk)
+        tau_p = _top_p_threshold(pk, p_arr)
         out = _masked_sample(pk, pk >= tau_p, key)
     elif filter_apply_order == "joint":
-        vals = _candidates(pf)
-        tau_k = _top_k_threshold(pf, k_arr, vals)
-        tau_p = _top_p_threshold(pf, p_arr, vals)
+        tau_k, tau_p = _joint_thresholds(
+            pf, jnp.asarray(k_arr, jnp.int32).reshape(-1, 1),
+            jnp.asarray(p_arr, jnp.float32).reshape(-1, 1))
         mask = jnp.logical_and(pf >= tau_k, pf >= tau_p)
         out = _masked_sample(pf, mask, key)
     else:
