@@ -96,6 +96,33 @@ def _threshold_search(
     return lo
 
 
+_CHUNK_ROWS = 64  # rows per threshold-search chunk: 64 x 128k f32 = 33 MB
+# stays VMEM-resident across the 32 bisection passes; at b256 the whole
+# [B, V] operand (131 MB) spills to HBM and the search runs 14x slower
+# (measured r4: 13.9 ms vs 4 x 0.95 ms chunked)
+
+
+def _map_row_chunks(fn, probs: jax.Array, *args):
+    """Run ``fn(probs_chunk, *args_chunk)`` over <=_CHUNK_ROWS row groups
+    so each group's vocab matrix stays VMEM-resident for the multi-pass
+    searches. UNROLLED python loop, not lax.map: the mapped body reads a
+    dynamic slice of the big operand, which XLA keeps in HBM (measured
+    r4: b256 lax.map 5.2 ms vs ~1.4 ms expected from 4 resident b64
+    chunks); unrolled static slices let each sub-search pin its chunk."""
+    b = probs.shape[0]
+    if b <= _CHUNK_ROWS or b % _CHUNK_ROWS != 0:
+        return fn(probs, *args)
+    g = b // _CHUNK_ROWS
+    outs = []
+    for j in range(g):
+        sl = slice(j * _CHUNK_ROWS, (j + 1) * _CHUNK_ROWS)
+        outs.append(fn(probs[sl], *(a[sl] for a in args)))
+    if isinstance(outs[0], tuple):
+        return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                     for i in range(len(outs[0])))
+    return jnp.concatenate(outs, axis=0)
+
+
 def _top_k_threshold(probs: jax.Array, top_k: jax.Array,
                      vals=None) -> jax.Array:
     """tau = the k-th largest probability (exact): {p >= tau} has >= k
@@ -111,10 +138,12 @@ def _top_k_threshold(probs: jax.Array, top_k: jax.Array,
     del vals
     k_arr = jnp.asarray(top_k, jnp.int32).reshape(-1, 1)
 
-    def keep(t):
-        return jnp.sum(probs >= t, axis=-1, keepdims=True) >= k_arr
+    def chunk(p, k):
+        def keep(t):
+            return jnp.sum(p >= t, axis=-1, keepdims=True) >= k
+        return _threshold_search(p, keep)
 
-    return _threshold_search(probs, keep)
+    return _map_row_chunks(chunk, probs, k_arr)
 
 
 def _top_p_threshold(probs: jax.Array, top_p: jax.Array,
@@ -124,12 +153,14 @@ def _top_p_threshold(probs: jax.Array, top_p: jax.Array,
     del vals
     p_arr = jnp.asarray(top_p, jnp.float32).reshape(-1, 1)
 
-    def keep(t):
-        mass = jnp.sum(jnp.where(probs >= t, probs, 0.0), axis=-1,
-                       keepdims=True)
-        return mass >= p_arr
+    def chunk(pr, p):
+        def keep(t):
+            mass = jnp.sum(jnp.where(pr >= t, pr, 0.0), axis=-1,
+                           keepdims=True)
+            return mass >= p
+        return _threshold_search(pr, keep)
 
-    return _threshold_search(probs, keep)
+    return _map_row_chunks(chunk, probs, p_arr)
 
 
 def _joint_thresholds(probs: jax.Array, k_arr: jax.Array,
@@ -139,24 +170,30 @@ def _joint_thresholds(probs: jax.Array, k_arr: jax.Array,
     same fori_loop, so XLA reads the [B, V] operand once per step
     instead of twice (the reference's joint dual-pivot kernel role,
     sampling.cuh:1202)."""
-    hi0 = jnp.max(probs, axis=-1, keepdims=True)
-    z = jnp.zeros_like(hi0)
+    def chunk(pr, k, p):
+        hi0 = jnp.max(pr, axis=-1, keepdims=True)
+        z = jnp.zeros_like(hi0)
 
-    def body(_, st):
-        lo_k, hi_k, lo_p, hi_p = st
-        mid_k = (lo_k + hi_k) * 0.5
-        mid_p = (lo_p + hi_p) * 0.5
-        cnt = jnp.sum((probs >= mid_k).astype(jnp.int32), axis=-1,
-                      keepdims=True)
-        mass = jnp.sum(jnp.where(probs >= mid_p, probs, 0.0), axis=-1,
-                       keepdims=True)
-        okk = cnt >= k_arr
-        okp = mass >= p_arr
-        return (jnp.where(okk, mid_k, lo_k), jnp.where(okk, hi_k, mid_k),
-                jnp.where(okp, mid_p, lo_p), jnp.where(okp, hi_p, mid_p))
+        def body(_, st):
+            lo_k, hi_k, lo_p, hi_p = st
+            mid_k = (lo_k + hi_k) * 0.5
+            mid_p = (lo_p + hi_p) * 0.5
+            cnt = jnp.sum((pr >= mid_k).astype(jnp.int32), axis=-1,
+                          keepdims=True)
+            mass = jnp.sum(jnp.where(pr >= mid_p, pr, 0.0), axis=-1,
+                           keepdims=True)
+            okk = cnt >= k
+            okp = mass >= p
+            return (jnp.where(okk, mid_k, lo_k),
+                    jnp.where(okk, hi_k, mid_k),
+                    jnp.where(okp, mid_p, lo_p),
+                    jnp.where(okp, hi_p, mid_p))
 
-    lo_k, _, lo_p, _ = jax.lax.fori_loop(0, iters, body, (z, hi0, z, hi0))
-    return lo_k, lo_p
+        lo_k, _, lo_p, _ = jax.lax.fori_loop(
+            0, iters, body, (z, hi0, z, hi0))
+        return lo_k, lo_p
+
+    return _map_row_chunks(chunk, probs, k_arr, p_arr)
 
 
 def sampling_from_probs(
