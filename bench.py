@@ -186,7 +186,8 @@ def _run_scaling() -> None:
     env = {**os.environ,
            "JAX_PLATFORMS": "cpu",
            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
-           "FLASHINFER_TPU_NO_PERSISTENT_CACHE": "1"}
+           "FLASHINFER_TPU_NO_PERSISTENT_CACHE": "1",
+           "FLASHINFER_TPU_SCALING_LIGHT": "1"}
     try:
         out = subprocess.run(
             [sys.executable, "-m", "benchmarks.routines.scaling"],
@@ -270,7 +271,7 @@ def main() -> None:
         r["vs_probe_ceiling"] = round(r["value"] / draw_ceiling, 4)
     _emit(r)
 
-    _emit(_metric("sparse_mla", cap_s=200.0))
+    _emit(_metric("sparse_mla", cap_s=320.0))
     _emit(vs_probe_tf(_metric("gemm_fp8", cap_s=120.0), gemm_probe))
     _emit(vs_probe_tf(_metric("moe_w8a8_large", cap_s=200.0),
                       2 * gemm_probe))
