@@ -40,13 +40,23 @@ def bench_top_k_top_p_sampling(batch: int = 64, vocab: int = 128256) -> dict:
         tok = top_k_top_p_sampling_from_logits(lg, top_k, top_p, key=key)
         return lg + (tok.astype(jnp.float32) * 1e-9)[:, None]
 
+    def step_joint(lg, key, top_k, top_p):
+        tok = top_k_top_p_sampling_from_logits(
+            lg, top_k, top_p, key=key, filter_apply_order="joint")
+        return lg + (tok.astype(jnp.float32) * 1e-9)[:, None]
+
     dt = bench_loop(step, logits, key, top_k, top_p, iters=8)
+    # the joint filter order (the reference's joint dual-pivot kernel
+    # analog) shares one sweep per bisection step across both thresholds
+    dt_j = bench_loop(step_joint, logits, key, top_k, top_p, iters=8)
     bytes_touched = batch * vocab * 4
     return {
         "routine": "top_k_top_p_sampling", "ms": round(dt * 1e3, 3),
         "config": f"b{batch} v{vocab} dyn-k40 p0.9",
         "value": round(batch / dt, 1), "unit": "tokens/s",
         "logits_gbs": round(bytes_touched / dt / 1e9, 1),
+        "joint_ms": round(dt_j * 1e3, 3),
+        "joint_tokens_per_s": round(batch / dt_j, 1),
     }
 
 
