@@ -154,3 +154,33 @@ def test_chain_speculative_sampling_reject_first(rng):
     assert int(acc[0]) == 0
     assert o[0, 0] != 3 and o[0, 0] >= 0  # replacement from residual
     assert o[0, 1] == -1 and o[0, 2] == -1  # chain stopped
+
+
+def test_rejection_sampler_conditional_distribution(rng):
+    """The Gumbel-order rejection sampler must draw from the RENORMALIZED
+    restricted distribution, not merely land inside the set: top-2 of
+    [0.5, 0.3, 0.15, 0.05] is {0, 1} with conditional [0.625, 0.375]."""
+    probs = jnp.asarray([[0.5, 0.3, 0.15, 0.05]], jnp.float32)
+    counts = np.zeros(4)
+    for seed in range(400):
+        s = sampling.top_k_sampling_from_probs(
+            probs, 2, key=jax.random.PRNGKey(seed))
+        counts[int(s[0])] += 1
+    freq = counts / counts.sum()
+    assert freq[2] == 0 and freq[3] == 0
+    np.testing.assert_allclose(freq[:2], [0.625, 0.375], atol=0.07)
+
+
+def test_rejection_sampler_top_p_distribution(rng):
+    """top-p nucleus conditional: p=0.6 over [0.5, 0.3, 0.2] keeps
+    {0, 1} (mass-above test: 0.5 < 0.6 for token 1; 0.8 >= 0.6 kills
+    token 2), conditional [0.625, 0.375]."""
+    probs = jnp.asarray([[0.5, 0.3, 0.2]], jnp.float32)
+    counts = np.zeros(3)
+    for seed in range(400):
+        s = sampling.top_p_sampling_from_probs(
+            probs, 0.6, key=jax.random.PRNGKey(seed))
+        counts[int(s[0])] += 1
+    freq = counts / counts.sum()
+    assert freq[2] == 0
+    np.testing.assert_allclose(freq[:2], [0.625, 0.375], atol=0.07)
