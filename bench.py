@@ -161,6 +161,13 @@ class _Worker:
 
 _WORKER = _Worker()
 
+# Physical sanity: no kernel can beat its roofline by >1.3x. A delta-timing
+# artifact on a noisy draw CAN print one (r4: gemm_fp8 recorded 1619 TF/s,
+# vs_roofline 8.2 — physically impossible, nothing flagged it). Guard:
+# re-measure once; if still impossible, flag "suspect": true so the
+# artifact is self-describing. (VERDICT r4 weak #4 / ask #5.)
+_SANITY_MAX_RATIO = 1.3
+
 
 def _metric(name: str, cap_s: float) -> dict | None:
     if _remaining() < 20.0:
@@ -248,8 +255,28 @@ def main() -> None:
             r["vs_probe"] = round(r["value"] / probe, 4)
         return r
 
-    _emit(vs_probe_tf(_metric("gemm_int8", cap_s=150.0), 2 * gemm_probe))
-    _emit(vs_probe_tf(_metric("moe_w8a8", cap_s=150.0), 2 * gemm_probe))
+    def probed(name: str, cap_s: float, probe: float) -> dict | None:
+        r = vs_probe_tf(_metric(name, cap_s), probe)
+        if (r is not None and "value" in r
+                and any(isinstance(r.get(k), (int, float))
+                        and r[k] > _SANITY_MAX_RATIO
+                        for k in ("vs_roofline", "vs_probe"))):
+            r2 = vs_probe_tf(_metric(name, cap_s), probe)
+            if (r2 is not None and "value" in r2
+                    and not any(isinstance(r2.get(k), (int, float))
+                                and r2[k] > _SANITY_MAX_RATIO
+                                for k in ("vs_roofline", "vs_probe"))):
+                r2["remeasured"] = True
+                return r2
+            if r2 is not None and "value" in r2 and r2["value"] < r["value"]:
+                r = r2
+            r["suspect"] = True
+            r["suspect_reason"] = ("exceeds physical roofline after "
+                                   "re-measure")
+        return r
+
+    _emit(probed("gemm_int8", 150.0, 2 * gemm_probe))
+    _emit(probed("moe_w8a8", 150.0, 2 * gemm_probe))
     _emit(_metric("sampling", cap_s=150.0))
     _emit(_metric("mla_decode_int8", cap_s=150.0))
 
@@ -271,13 +298,17 @@ def main() -> None:
         r["vs_probe_ceiling"] = round(r["value"] / draw_ceiling, 4)
     _emit(r)
 
-    _emit(_metric("sparse_mla", cap_s=320.0))
-    _emit(vs_probe_tf(_metric("gemm_fp8", cap_s=120.0), gemm_probe))
-    _emit(vs_probe_tf(_metric("moe_w8a8_large", cap_s=200.0),
-                      2 * gemm_probe))
+    _emit(_metric("sparse_mla", cap_s=380.0))
+    _emit(probed("gemm_fp8", 120.0, gemm_probe))
+    _emit(probed("moe_w8a8_large", 200.0, 2 * gemm_probe))
     _emit(_metric("mla_decode_bf16", cap_s=120.0))
+    # cheap correctness line: native ragged_all_to_all executes on the
+    # real chip and matches the dense transport (ask #6)
+    _emit(_metric("ep_ragged_native", cap_s=120.0))
     _emit(_metric("model_ttft", cap_s=200.0))
-    _emit(_metric("mla_moe_model", cap_s=200.0))
+    # r4: first-compile of the 8L MLA+MoE model inside 200 s was marginal
+    # on slow draws (1/3 one-shot failure rate) — widened (ask #5c)
+    _emit(_metric("mla_moe_model", cap_s=320.0))
 
     _run_scaling()
 

@@ -127,14 +127,25 @@ def bench_sparse_mla_decode(
         o = sparse_mla_attention(q_cur, kv, idx, head_dim_ckv=d_ckv)
         return jnp.pad(o, ((0, 0), (0, 0), (0, 0), (0, d - d_ckv)))
 
-    dt = min(bench_loop(step, q, kv, idx, iters=16) for _ in range(2))
+    # BOTH sides best-of-2, interleaved back-to-back (sparse, dense,
+    # sparse, dense) so the ratio's numerator and denominator sample the
+    # same draw/thermal state — r4 recorded 0.64x (driver) vs 0.83x
+    # (builder) for identical code purely from single-shot measurement
+    # of a ratio (VERDICT r4 weak #7 / ask #5b)
+    dts, dense_runs = [], []
+    for _ in range(2):
+        dts.append(bench_loop(step, q, kv, idx, iters=16))
+        dense_runs.append(
+            bench_mla_decode(batch=batch, kv_len=top_k,
+                             num_heads=num_heads, d_ckv=d_ckv,
+                             d_kpe=d_kpe))
+    dt = min(dts)
     useful_bytes = batch * top_k * d * 2
     gbs = useful_bytes / dt / 1e9
     flops = 2 * batch * num_heads * top_k * (d + d_ckv)
     tf = flops / dt / 1e12
 
-    dense = bench_mla_decode(batch=batch, kv_len=top_k,
-                             num_heads=num_heads, d_ckv=d_ckv, d_kpe=d_kpe)
+    dense = max(dense_runs, key=lambda r: r["value"])
     # dense layout lane-pads kpe to 128 (640 B/token vs 576): compare
     # token-rates, i.e. useful-byte bandwidth scaled to a common 576-wide row
     dense_equal_bytes_gbs = dense["value"] * d / (d_ckv + 128)

@@ -65,7 +65,10 @@ def bench_mm_fp8_groupwise(m: int = 4096, k: int = 4096, n: int = 4096
     def step(x, b, a_s, b_s):
         return mm_fp8(x, b, a_s, b_s).astype(jnp.float8_e4m3fn)
 
-    dt = bench_loop(step, a, b, a_s, b_s, iters=16)
+    # iters raised 16 -> 48 after the r4 driver recorded a physically
+    # impossible 1619 TF/s on this metric (delta-timing jitter at low
+    # iter counts; VERDICT r4 weak #4)
+    dt = bench_loop(step, a, b, a_s, b_s, iters=48, base_iters=8)
     tf = 2 * m * k * n / dt / 1e12
     return {"routine": "mm_fp8_groupwise", "ms": round(dt * 1e3, 3),
             "metric": "TFLOP/s", "value": round(tf, 1),

@@ -26,8 +26,11 @@ def _logits(batch: int, vocab: int) -> jnp.ndarray:
 def bench_top_k_top_p_sampling(batch: int = 64, vocab: int = 128256) -> dict:
     """Joint top-k/top-p sampling from logits (llama-3 vocab size).
 
-    The fed-back token perturbs the next iteration's logits so the chain
-    stays data-dependent (bench_loop contract).
+    The fed-back token folds into the next iteration's PRNG key, so the
+    chain stays data-dependent (bench_loop contract) WITHOUT a full
+    [B, V] logits rewrite per step — the r4 perturbation variant spent
+    ~100 us/step on a pure HBM copy of the logits, swamping the sampler
+    (r5 fix; the reference bench also samples a fixed probs tensor).
     """
     from flashinfer_tpu.ops.sampling import top_k_top_p_sampling_from_logits
 
@@ -36,19 +39,21 @@ def bench_top_k_top_p_sampling(batch: int = 64, vocab: int = 128256) -> dict:
     top_k = jnp.full((batch,), 40, jnp.int32)
     top_p = jnp.full((batch,), 0.9, jnp.float32)
 
-    def step(lg, key, top_k, top_p):
+    def step(key, lg, top_k, top_p):
         tok = top_k_top_p_sampling_from_logits(lg, top_k, top_p, key=key)
-        return lg + (tok.astype(jnp.float32) * 1e-9)[:, None]
+        return jax.random.fold_in(key, tok[0])
 
-    def step_joint(lg, key, top_k, top_p):
+    def step_joint(key, lg, top_k, top_p):
         tok = top_k_top_p_sampling_from_logits(
             lg, top_k, top_p, key=key, filter_apply_order="joint")
-        return lg + (tok.astype(jnp.float32) * 1e-9)[:, None]
+        return jax.random.fold_in(key, tok[0])
 
-    dt = bench_loop(step, logits, key, top_k, top_p, iters=8)
+    dt = bench_loop(step, key, logits, top_k, top_p, iters=64,
+                    base_iters=4)
     # the joint filter order (the reference's joint dual-pivot kernel
-    # analog) shares one sweep per bisection step across both thresholds
-    dt_j = bench_loop(step_joint, logits, key, top_k, top_p, iters=8)
+    # analog): one fused rejection kernel, no top-k compaction stage
+    dt_j = bench_loop(step_joint, key, logits, top_k, top_p, iters=64,
+                      base_iters=4)
     bytes_touched = batch * vocab * 4
     return {
         "routine": "top_k_top_p_sampling", "ms": round(dt * 1e3, 3),

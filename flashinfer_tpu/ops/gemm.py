@@ -119,27 +119,42 @@ def mm_fp8(
     """FP8 GEMM with per-tensor or groupwise scales (reference
     gemm_base.py:4449). Groupwise = DeepGEMM contract: a_scale per
     (token, 128-k-group), b_scale per (128,128) block."""
-    del out, backend
+    del out
     a_scale = jnp.asarray(a_scale, jnp.float32)
     b_scale = jnp.asarray(b_scale, jnp.float32)
     groupwise = a_scale.ndim == 2 and a_scale.shape[-1] == a.shape[1] // 128
     if groupwise and b_scale.ndim == 2:
-        # dequant-then-dot: XLA's MXU matmul runs at ~206 TFLOP/s on v5e
-        # and the bandwidth-bound dequant adds ~10% — measured 12x faster
-        # than the tiled Pallas fused-dequant kernel (kept in gemm_pallas
-        # for reference/autotuning)
+        if backend == "pallas_fused":
+            # experimental fused-dequant kernel: measured NEGATIVE on v5e
+            # (Mosaic lowers the e4m3->bf16 convert in software at ~24
+            # TF/s end-to-end vs 126 here — see docs/design.md "fp8 GEMM
+            # story r5"); kept reachable for future chips with fast
+            # fp8 converts
+            from .gemm_pallas import fp8_groupwise_mm_fused
+
+            return fp8_groupwise_mm_fused(a, b, a_scale, b_scale,
+                                          out_dtype=out_dtype)
+        # dequant-then-dot with f32 scale math (the DeepGEMM precision
+        # contract) and a MULTI-DIM dot_general so the dequanted operands
+        # keep their (m, kg, 128) grouped view — no reshape-back pass.
+        # r5 measured at 4096^3: this 137.9 TF/s vs 109.6 for the
+        # reshape-back route and 125.6 for bf16-scale math (which breaks
+        # the f32 contract); pure bf16 dot ceiling 188 on the same draw.
+        # The serving-grade quantized GEMM on v5e remains mm_int8
+        # (native 2x-rate MXU, 0.85-0.87 of its roofline).
         m, k = a.shape
         n = b.shape[1]
-        adq = (
-            a.astype(jnp.float32).reshape(m, k // 128, 128)
-            * a_scale[..., None]
-        ).reshape(m, k).astype(jnp.bfloat16)
-        bdq = (
-            b.astype(jnp.float32).reshape(k // 128, 128, n // 128, 128)
+        kg = k // 128
+        a3 = (
+            a.astype(jnp.float32).reshape(m, kg, 128) * a_scale[..., None]
+        ).astype(jnp.bfloat16)
+        b3 = (
+            b.astype(jnp.float32).reshape(kg, 128, n // 128, 128)
             * b_scale[:, None, :, None]
-        ).reshape(k, n).astype(jnp.bfloat16)
-        return jnp.dot(
-            adq, bdq, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16).reshape(kg, 128, n)
+        return jax.lax.dot_general(
+            a3, b3, dimension_numbers=(((1, 2), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
         ).astype(out_dtype)
     # per-tensor / per-token fast path: scale folds outside the dot
     out_f = jnp.dot(

@@ -116,6 +116,93 @@ def fp8_groupwise_mm(
     return out[:m, :n]
 
 
+def _fp8_fused_kernel(
+    a_ref,  # [BM2, K] fp8
+    as_ref,  # [BM2, K//128] f32
+    b_ref,  # [K, BN2] fp8
+    bs_ref,  # [K//128, BN2] f32 (block scales pre-expanded over columns)
+    o_ref,  # [BM2, BN2]
+    *,
+    k_groups: int,
+):
+    bm, k = a_ref.shape
+    bn = b_ref.shape[1]
+    # Per-group K=128 dots with the f32 scales applied to the f32 partial
+    # accumulator (the reference's accumulator-side scaling,
+    # gemm_groupwise_sm100.cuh). No reshapes: splitting the lane/sublane
+    # dims of a VMEM tile forces a Mosaic relayout (measured r5: the
+    # reshape-based variant ran at 19.7 TF/s — 9x slower than this).
+    a_s = as_ref[...]  # (bm, kg) f32
+    acc = jnp.zeros((bm, bn), jnp.float32)
+    for g in range(k_groups):
+        a_g = a_ref[:, g * 128:(g + 1) * 128].astype(jnp.bfloat16)
+        b_g = b_ref[g * 128:(g + 1) * 128, :].astype(jnp.bfloat16)
+        p = jax.lax.dot_general(
+            a_g, b_g, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + p * a_s[:, g:g + 1] * bs_ref[g:g + 1, :]
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+BM2, BN2 = 512, 256  # large-tile fused path: K stays whole per tile
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def fp8_groupwise_mm_fused(
+    a: jax.Array,  # [M, K] fp8
+    b: jax.Array,  # [K, N] fp8
+    a_scale: jax.Array,  # [M, K//128] f32
+    b_scale: jax.Array,  # [K//128, N//128] f32
+    out_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Large-shape groupwise FP8 GEMM with in-VMEM dequant fused under
+    the MXU pipeline (reference deep_gemm.py / gemm_groupwise_sm100.cuh
+    role).
+
+    Why this beats the XLA dequant-then-dot route: XLA materializes both
+    bf16 dequanted operands in HBM (write+re-read of ~2x operand bytes —
+    measured r5: cast-only dot 155 TF/s vs pure-bf16 188 TF/s at 4096^3,
+    scales pushing it to 110-126). Here dequant happens on VMEM tiles as
+    they stream, so HBM sees only the fp8 bytes. Requires K % 128 == 0;
+    M/N are padded to the (512, 256) macro tile.
+    """
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2 and k % 128 == 0, f"K={k} must be a multiple of 128"
+    kg = k // 128
+    mp, np_ = round_up(m, BM2), round_up(n, BN2)
+    if mp != m:
+        a = jnp.pad(a.astype(jnp.float32), ((0, mp - m), (0, 0))).astype(
+            a.dtype)
+        a_scale = jnp.pad(a_scale, ((0, mp - m), (0, 0)))
+    if np_ != n:
+        b = jnp.pad(b.astype(jnp.float32), ((0, 0), (0, np_ - n))).astype(
+            b.dtype)
+        b_scale = jnp.pad(
+            b_scale, ((0, 0), (0, np_ // 128 - b_scale.shape[1])))
+    b_scale_cols = jnp.repeat(b_scale.astype(jnp.float32), 128, axis=1)
+    grid = (mp // BM2, np_ // BN2)
+    out = pl.pallas_call(
+        functools.partial(_fp8_fused_kernel, k_groups=kg),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BM2, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((BM2, kg), lambda i, j: (i, 0)),
+            pl.BlockSpec((k, BN2), lambda i, j: (0, j)),
+            pl.BlockSpec((kg, BN2), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((BM2, BN2), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel")),
+        interpret=resolve_interpret(interpret),
+    )(a, a_scale.astype(jnp.float32), b, b_scale_cols)
+    return out[:m, :n]
+
+
 # ---------------------------------------------------------------------------
 # FP4 (e2m1) dequant + GEMM
 # ---------------------------------------------------------------------------

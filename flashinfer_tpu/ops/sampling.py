@@ -22,6 +22,7 @@ optional `indices` arg for shared-probs batching, matching the reference.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,111 @@ from ..api_logging import flashinfer_api
 from ..trace import SAMPLING_TRACE
 
 _NEG_INF = float("-inf")
+
+# TPU fast paths (round 5). Two engines sit under the public API:
+#  * sampling_pallas.pallas_sample — the row-resident fused kernel
+#    (softmax + noise + threshold search + rejection in one HBM pass);
+#  * _compact_topk_first_sample — the reference's top-k-first fast path
+#    (sampling.py:1341-1428: radix top-k compaction, then sample among
+#    <=256 entries), TPU form: lax.top_k + sorted-cumsum suffix rule.
+# The jnp implementations below remain the CPU/interpret reference the
+# fast paths are tested against (tests/test_sampling_kernel.py).
+_FASTPATH_MAX_K = 256  # reference _TOP_K_FIRST_FAST_PATH_MAX_K
+_FASTPATH_MIN_VOCAB = 8192
+
+
+def _use_tpu_fast() -> bool:
+    if os.environ.get("FLASHINFER_TPU_SAMPLING_FASTPATH", "1") in (
+            "0", "false", "off"):
+        return False
+    from ..env import is_tpu_backend
+
+    return is_tpu_backend()
+
+
+def _compact_topk_first_sample(
+    x: jax.Array,  # [B, V] logits or probs
+    top_k,  # int or [B] array (array values clamped to _FASTPATH_MAX_K)
+    top_p,  # float or [B] array
+    key: jax.Array,
+    input_is_logits: bool,
+) -> jax.Array:
+    """top_k_first order via top-k COMPACTION (reference fast path,
+    sampling.py:1359): select the top-cap entries once, then renorm +
+    top-p + Gumbel sampling on the tiny [B, cap] slab. Exact for every
+    row with k <= cap; array top_k rows above the cap are clamped to it
+    (the reference refuses array k outright — same 256 cap)."""
+    b, v = x.shape
+    if isinstance(top_k, int):
+        cap = min(top_k, v)
+    else:
+        cap = min(_FASTPATH_MAX_K, v)
+    vals, idx = jax.lax.top_k(x.astype(jnp.float32), cap)  # desc sorted
+    pos = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    k_arr = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32).reshape(-1, 1),
+                             (b, 1))
+    p_arr = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32).reshape(-1, 1),
+                             (b, 1))
+    keep_k = pos < jnp.minimum(k_arr, cap)
+    if input_is_logits:
+        w = jnp.exp(vals - vals[:, :1])  # unnormalized probs (scale-free)
+    else:
+        w = jnp.maximum(vals, 0.0)
+    wk = jnp.where(keep_k, w, 0.0)
+    z1 = jnp.sum(wk, axis=-1, keepdims=True)
+    above = jnp.cumsum(wk, axis=-1) - wk  # mass strictly above (sorted)
+    keep = jnp.logical_and(keep_k, above < p_arr * z1)
+    lw = jnp.where(keep, jnp.log(jnp.maximum(wk, 1e-38)), _NEG_INF)
+    g = jax.random.gumbel(key, (b, cap), dtype=jnp.float32)
+    j = jnp.argmax(lw + g, axis=-1)
+    return jnp.take_along_axis(idx, j[:, None], axis=-1)[:, 0].astype(
+        jnp.int32)
+
+
+def _compact_topk_sample(
+    x: jax.Array, top_k, key: jax.Array, input_is_logits: bool,
+) -> jax.Array:
+    """top-k restricted sampling via compaction (k <= 256)."""
+    b, v = x.shape
+    cap = min(top_k, v) if isinstance(top_k, int) else min(
+        _FASTPATH_MAX_K, v)
+    vals, idx = jax.lax.top_k(x.astype(jnp.float32), cap)
+    pos = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    k_arr = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32).reshape(-1, 1),
+                             (b, 1))
+    keep = pos < jnp.minimum(k_arr, cap)
+    if input_is_logits:
+        lw = jnp.where(keep, vals - vals[:, :1], _NEG_INF)
+    else:
+        lw = jnp.where(jnp.logical_and(keep, vals > 0),
+                       jnp.log(jnp.maximum(vals, 1e-38)), _NEG_INF)
+    g = jax.random.gumbel(key, (b, cap), dtype=jnp.float32)
+    j = jnp.argmax(lw + g, axis=-1)
+    return jnp.take_along_axis(idx, j[:, None], axis=-1)[:, 0].astype(
+        jnp.int32)
+
+
+def _fastpath_k_ok(top_k, vocab: int) -> bool:
+    """Gate for the top-k-COMPACTION fast path — measured NEGATIVE on
+    TPU and therefore opt-in only (FLASHINFER_TPU_SAMPLING_COMPACT=1).
+
+    r5 measurement (v5e, b64 x 128256 f32, in a dependent chain):
+    ``jax.lax.top_k(x, 256)`` costs **6.4 ms** — XLA lowers TopK on TPU
+    through an iterative sort expansion, 60x the whole Pallas sampling
+    kernel. (Early probes that read only column 0 of the result measured
+    0.07-0.1 ms, but XLA had simplified TopK to a plain max — DCE'd.)
+    The reference's radix-select compaction (sampling.py:1359) has no
+    cheap XLA analog; the Pallas bisection+rejection kernel fills the
+    role instead. Kept because the compacted sampler is exact and the
+    right default on any future backend where TopK is fast."""
+    if os.environ.get("FLASHINFER_TPU_SAMPLING_COMPACT", "0") not in (
+            "1", "true", "on"):
+        return False
+    if vocab < _FASTPATH_MIN_VOCAB:
+        return False
+    if isinstance(top_k, int):
+        return 0 < top_k <= _FASTPATH_MAX_K
+    return True  # array k: clamped to the cap (documented)
 
 
 def _ensure_2d(x: jax.Array) -> tuple[jax.Array, bool]:
@@ -286,6 +392,11 @@ def sampling_from_probs(
     probs = _maybe_gather(probs, indices)
     if key is None:
         key = jax.random.PRNGKey(0)
+    if _use_tpu_fast() and probs.shape[-1] >= 2048:
+        from .sampling_pallas import pallas_sample
+
+        out = pallas_sample(probs, key, mode="plain", input_kind="probs")
+        return out[0] if squeeze else out
     lp = jnp.log(jnp.maximum(probs.astype(jnp.float32), 1e-38))
     lp = jnp.where(probs > 0, lp, _NEG_INF)
     out = _gumbel_argmax(key, lp)
@@ -314,6 +425,11 @@ def sampling_from_logits(
         if t.ndim == 1:
             t = t[:, None]
         lf = lf / jnp.maximum(t, 1e-10)
+    if _use_tpu_fast() and lf.shape[-1] >= 2048:
+        from .sampling_pallas import pallas_sample
+
+        out = pallas_sample(lf, key, mode="plain", input_kind="logits")
+        return out[0] if squeeze else out
     out = _gumbel_argmax(key, lf)
     return out[0] if squeeze else out
 
@@ -339,6 +455,17 @@ def top_k_sampling_from_probs(
     if key is None:
         key = jax.random.PRNGKey(0)
     pf = probs.astype(jnp.float32)
+    if _use_tpu_fast() and _fastpath_k_ok(top_k, pf.shape[-1]):
+        out = _compact_topk_sample(pf, top_k, key, input_is_logits=False)
+        return out[0] if squeeze else out
+    if _use_tpu_fast() and pf.shape[-1] >= 2048:
+        from .sampling_pallas import pallas_sample
+
+        k_arr = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32),
+                                 (pf.shape[0],))
+        out = pallas_sample(pf, key, top_k=k_arr, mode="topk",
+                            input_kind="probs")
+        return out[0] if squeeze else out
     lp = jnp.where(pf > 0, jnp.log(jnp.maximum(pf, 1e-38)), _NEG_INF)
     k_arr = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32),
                              (pf.shape[0],))[:, None]
@@ -361,10 +488,16 @@ def top_p_sampling_from_probs(
     if key is None:
         key = jax.random.PRNGKey(0)
     pf = probs.astype(jnp.float32)
-    lp = jnp.where(pf > 0, jnp.log(jnp.maximum(pf, 1e-38)), _NEG_INF)
     p_arr = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32),
-                             (pf.shape[0],))[:, None]
-    out = _rejection_sample(lp, key, p_arr=p_arr)
+                             (pf.shape[0],))
+    if _use_tpu_fast() and pf.shape[-1] >= 2048:
+        from .sampling_pallas import pallas_sample
+
+        out = pallas_sample(pf, key, top_p=p_arr, mode="topp",
+                            input_kind="probs")
+        return out[0] if squeeze else out
+    lp = jnp.where(pf > 0, jnp.log(jnp.maximum(pf, 1e-38)), _NEG_INF)
+    out = _rejection_sample(lp, key, p_arr=p_arr[:, None])
     return out[0] if squeeze else out
 
 
@@ -384,8 +517,14 @@ def min_p_sampling_from_probs(
     if key is None:
         key = jax.random.PRNGKey(0)
     pf = probs.astype(jnp.float32)
-    mp = jnp.broadcast_to(jnp.asarray(min_p, jnp.float32), (pf.shape[0],))[:, None]
-    tau = mp * jnp.max(pf, axis=-1, keepdims=True)
+    mp = jnp.broadcast_to(jnp.asarray(min_p, jnp.float32), (pf.shape[0],))
+    if _use_tpu_fast() and pf.shape[-1] >= 2048:
+        from .sampling_pallas import pallas_sample
+
+        out = pallas_sample(pf, key, top_p=mp, mode="minp",
+                            input_kind="probs")
+        return out[0] if squeeze else out
+    tau = mp[:, None] * jnp.max(pf, axis=-1, keepdims=True)
     out = _masked_sample(pf, pf >= tau, key)
     return out[0] if squeeze else out
 
@@ -411,6 +550,18 @@ def top_k_top_p_sampling_from_probs(
     k_arr = jnp.broadcast_to(jnp.asarray(top_k), (batch,))
     p_arr = jnp.broadcast_to(jnp.asarray(top_p), (batch,))
     if filter_apply_order == "top_k_first":
+        if _use_tpu_fast() and _fastpath_k_ok(top_k, pf.shape[-1]):
+            out = _compact_topk_first_sample(pf, top_k, top_p, key,
+                                             input_is_logits=False)
+            return out[0] if squeeze else out
+        if _use_tpu_fast() and pf.shape[-1] >= 2048:
+            from .sampling_pallas import pallas_sample
+
+            out = pallas_sample(
+                pf, key, top_k=jnp.asarray(k_arr, jnp.int32),
+                top_p=jnp.asarray(p_arr, jnp.float32),
+                mode="topk_first", input_kind="probs")
+            return out[0] if squeeze else out
         tau_k = _top_k_threshold(pf, k_arr)
         pk = jnp.where(pf >= tau_k, pf, 0.0)
         z = jnp.maximum(jnp.sum(pk, -1, keepdims=True), 1e-38)
@@ -418,6 +569,14 @@ def top_k_top_p_sampling_from_probs(
         tau_p = _top_p_threshold(pk, p_arr)
         out = _masked_sample(pk, pk >= tau_p, key)
     elif filter_apply_order == "joint":
+        if _use_tpu_fast() and pf.shape[-1] >= 2048:
+            from .sampling_pallas import pallas_sample
+
+            out = pallas_sample(
+                pf, key, top_k=jnp.asarray(k_arr, jnp.int32),
+                top_p=jnp.asarray(p_arr, jnp.float32),
+                mode="joint", input_kind="probs")
+            return out[0] if squeeze else out
         lp = jnp.where(pf > 0, jnp.log(jnp.maximum(pf, 1e-38)), _NEG_INF)
         out = _rejection_sample(
             lp, key,
@@ -439,11 +598,48 @@ def top_k_top_p_sampling_from_logits(
     key: jax.Array | None = None,
     check_nan: bool = False,
 ) -> jax.Array:
-    probs = softmax(logits if indices is None else logits, 1.0)
-    return top_k_top_p_sampling_from_probs(
-        probs, top_k, top_p, indices, filter_apply_order,
+    logits2, squeeze = _ensure_2d(logits)
+    logits2 = _maybe_gather(logits2, indices)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if _use_tpu_fast() and logits2.shape[-1] >= 2048:
+        # fused: no host-side softmax materialization (the reference
+        # OnlineSoftmax fusion role, sampling.cuh:306-508) — count/mass
+        # tests are scale-free in q = exp(l - max(l))
+        lf = logits2.astype(jnp.float32)
+        b = lf.shape[0]
+        if filter_apply_order == "top_k_first":
+            if _fastpath_k_ok(top_k, lf.shape[-1]):
+                out = _compact_topk_first_sample(lf, top_k, top_p, key,
+                                                 input_is_logits=True)
+            else:
+                from .sampling_pallas import pallas_sample
+
+                out = pallas_sample(
+                    lf, key,
+                    top_k=jnp.broadcast_to(jnp.asarray(top_k, jnp.int32),
+                                           (b,)),
+                    top_p=jnp.broadcast_to(jnp.asarray(top_p, jnp.float32),
+                                           (b,)),
+                    mode="topk_first", input_kind="logits")
+        elif filter_apply_order == "joint":
+            from .sampling_pallas import pallas_sample
+
+            out = pallas_sample(
+                lf, key,
+                top_k=jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (b,)),
+                top_p=jnp.broadcast_to(jnp.asarray(top_p, jnp.float32),
+                                       (b,)),
+                mode="joint", input_kind="logits")
+        else:
+            raise ValueError(f"bad filter_apply_order {filter_apply_order!r}")
+        return out[0] if squeeze else out
+    probs = softmax(logits2, 1.0)
+    out = top_k_top_p_sampling_from_probs(
+        probs, top_k, top_p, None, filter_apply_order,
         deterministic, key, check_nan,
     )
+    return out[0] if squeeze else out
 
 
 def top_p_renorm_probs(

@@ -1,0 +1,322 @@
+"""Row-resident Pallas sampling kernel: fused softmax + top-k/top-p
+rejection sampling in ONE pass over HBM.
+
+This is the TPU answer to the reference's single-kernel samplers
+(include/flashinfer/sampling.cuh:736-1672: fused OnlineSoftmax :306-508,
+joint dual-pivot rejection :1202). The jnp implementations in
+``sampling.py`` are exact but run every vocab sweep as a separate XLA
+pass over HBM (recorded r4: 74.6k tok/s at b64x128k = 38 GB/s on a
+657 GB/s chip). This kernel keeps a row-block of scores VMEM-resident
+and runs ALL sweeps (max, bisection rounds, mass, rejection rounds) on
+chip, so HBM sees the logits exactly once.
+
+Algorithm (same math as sampling.py, proven exact there by tests):
+
+* Work in q-space: ``q = exp(s - max(s))`` for logits input, ``q = p``
+  for probs input. Every kept set is a value-threshold (suffix) set of
+  the q order, and count/mass tests are scale-invariant, so logits
+  never need a host-side softmax (the fused-OnlineSoftmax role).
+* Categorical order via the exponential race: ``z = q / E`` with
+  ``E ~ Exp(1)`` generated in-kernel (pltpu.prng_random_bits). argmax(z)
+  over any suffix set S is an exact sample from q|S — one log per
+  element instead of the two of Gumbel noise.
+* top-k threshold: bisection on q in [0, max(q)] with EARLY EXIT when
+  count(q >= mid) == k exactly (generic case: the gap between the k-th
+  and (k+1)-th order stats is wide, so ~8-14 rounds instead of 32; ties
+  that straddle k fall back to the full bisection, keeping ties like
+  the reference).
+* top-p: Gumbel-order rejection (sampling.py:199-273's algorithm): the
+  candidate is the z-argmax above a rising value pivot; one fused
+  count+mass sweep tests membership; rejection raises the pivot to the
+  candidate's q. Typically 1-3 rounds; rows that exhaust max_rounds
+  fall back to argmax(q), which is a member of every kept set.
+
+Modes:
+  plain       categorical sample (no constraint)
+  topk        top-k restricted
+  topp        top-p (nucleus) restricted
+  joint       top-k AND top-p applied jointly (reference "joint" order)
+  topk_first  top-k filter, renormalize, then top-p (reference default)
+  minp        p >= min_p * max(p)
+
+Reference parity: flashinfer/sampling.py:737-1742 semantics; the jnp
+path in sampling.py remains the CPU/interpret fallback and the source
+of truth the kernel is tested against (tests/test_sampling_kernel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..env import resolve_interpret
+
+_MODES = ("plain", "topk", "topp", "joint", "topk_first", "minp")
+
+
+def _uniform_from_bits(bits: jax.Array) -> jax.Array:
+    """Random bits -> f32 uniform in (0, 1): 23 random mantissa bits via
+    the exponent-trick bitcast (no int->float convert needed)."""
+    bits = pltpu.bitcast(bits, jnp.uint32)  # avoid arithmetic >> on i32
+    mant = (bits >> 9) | jnp.uint32(0x3F800000)
+    u01 = pltpu.bitcast(mant, jnp.float32) - 1.0  # [0, 1)
+    return u01 + jnp.float32(2.0 ** -25)  # (0, 1)
+
+
+def _kernel(
+    *refs,
+    mode: str,
+    input_kind: str,
+    bisect_iters: int,
+    max_rounds: int,
+    gen_noise: bool,
+):
+    if gen_noise:
+        # production TPU path: Exp(1) noise from the on-chip PRNG
+        seed_ref, k_ref, p_ref, s_ref, tok_ref = refs
+        rb, v = s_ref.shape
+        # Mosaic caps prng_seed at 2 values: fold the block id into seed0
+        # (Knuth multiplicative hash) so row blocks get independent bits
+        pltpu.prng_seed(
+            seed_ref[0, 0] + pl.program_id(0) * jnp.int32(-1640531527),
+            seed_ref[0, 1])
+        e = -jnp.log(_uniform_from_bits(pltpu.prng_random_bits((rb, v))))
+    else:
+        # interpret/test path: host-generated noise (the interpret-mode
+        # PRNG emulation returns zeros, which would degenerate to argmax)
+        seed_ref, k_ref, p_ref, s_ref, e_ref, tok_ref = refs
+        rb, v = s_ref.shape
+        e = e_ref[:]
+    s = s_ref[:].astype(jnp.float32)
+
+    mx = jnp.max(s, axis=-1, keepdims=True)  # (rb, 1)
+    if input_kind == "logits":
+        q = jnp.exp(s - mx)  # max exactly 1.0 at the row argmax
+        q_hi = jnp.ones_like(mx)
+    else:
+        q = jnp.maximum(s, 0.0)
+        q_hi = jnp.maximum(mx, jnp.float32(1e-38))
+    z = q / e  # exponential race: argmax(z | S) ~ q | S exactly
+    idxv = jax.lax.broadcasted_iota(jnp.int32, (rb, v), 1)
+
+    if mode == "plain":
+        tok_ref[:] = jnp.argmax(z, axis=-1, keepdims=True).astype(jnp.int32)
+        return
+
+    if mode == "minp":
+        # keep p >= min_p * max(p)  <=>  q >= min_p * q_hi (scale-free)
+        tau = p_ref[:] * q_hi
+        zm = jnp.where(q >= tau, z, 0.0)
+        tok_ref[:] = jnp.argmax(zm, axis=-1, keepdims=True).astype(jnp.int32)
+        return
+
+    need_k = mode in ("topk", "joint", "topk_first")
+    need_p = mode in ("topp", "joint", "topk_first")
+    k = k_ref[:] if need_k else None
+    p = p_ref[:] if need_p else None
+
+    # total mass: the topp/joint normalizer AND the top-k search's upper
+    # bound (k-th largest <= Z/k), which saves ~3 bisection rounds
+    zt = jnp.sum(q, axis=-1, keepdims=True)
+
+    # ---- top-k value threshold (topk / topk_first) ----------------------
+    # Early-exit while bisection (measured fastest construction r5: the
+    # generic gap between the k-th and (k+1)-th order stats is wide, so
+    # count(q >= mid) == k fires after ~9-12 rounds; Mosaic's while
+    # scalar-sync overhead measured ~free vs the 2-op vector sweep).
+    tau = jnp.zeros_like(mx)
+    if mode in ("topk", "topk_first"):
+        kf = k.astype(jnp.float32)
+        hi0 = jnp.minimum(q_hi, zt / kf)
+        # seed round: if count(q >= hi0) >= k then tau == hi0 exactly
+        # (no x > Z/k can keep k elements)
+        c0 = jnp.sum((q >= hi0).astype(jnp.float32), axis=-1,
+                     keepdims=True)
+        ok0 = c0 >= kf
+        tau = jnp.where(ok0, hi0, 0.0)
+        done0 = ok0.astype(jnp.int32)
+
+        def bcond(st):
+            r, lo, hi, tau, done = st
+            return jnp.logical_and(r < bisect_iters, jnp.min(done) < 1)
+
+        def bbody(st):
+            r, lo, hi, tau, done = st
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum((q >= mid).astype(jnp.float32), axis=-1,
+                          keepdims=True)
+            ok = cnt >= kf
+            eq = jnp.logical_and(cnt == kf, done < 1)
+            tau = jnp.where(eq, mid, tau)
+            done = jnp.maximum(done, eq.astype(jnp.int32))
+            return (r + 1, jnp.where(ok, mid, lo),
+                    jnp.where(ok, hi, mid), tau, done)
+
+        _, lo, _, tau, done = jax.lax.while_loop(
+            bcond, bbody,
+            (jnp.int32(0), jnp.zeros_like(mx), hi0, tau, done0))
+        tau = jnp.where(done > 0, tau, lo)
+
+    cand = q >= tau if mode in ("topk", "topk_first") else None
+
+    if mode == "topk":
+        # the tau restriction IS the (tie-inclusive) top-k filter; the
+        # z-argmax over it is already the exact restricted sample
+        tok_ref[:] = jnp.argmax(jnp.where(cand, z, 0.0), axis=-1,
+                                keepdims=True).astype(jnp.int32)
+        return
+
+    # ---- rejection rounds ----------------------------------------------
+    # fallback token = row argmax, a member of every kept set
+    tok0 = jnp.argmax(q, axis=-1, keepdims=True).astype(jnp.int32)
+
+    # round 1 STRAIGHT-LINE with the top-k mass normalizer Z1 fused into
+    # the extraction sweep (independent reduces over the same operand);
+    # acceptance prob ~= top_p, so the while below usually starts with
+    # its cond already false — one scalar sync total.
+    live = cand if cand is not None else (q > -1.0)
+    t1 = jnp.argmax(jnp.where(live, z, 0.0), axis=-1, keepdims=True)
+    q_t1 = jnp.sum(jnp.where(idxv == t1, q, 0.0), axis=-1, keepdims=True)
+    if mode == "topk_first":
+        zmass = jnp.sum(jnp.where(cand, q, 0.0), axis=-1, keepdims=True)
+    else:  # topp / joint: nucleus of the FULL distribution
+        zmass = zt
+
+    def test_(t, q_t):
+        above = q > q_t
+        ok = jnp.sum(jnp.where(above, q, 0.0), axis=-1,
+                     keepdims=True) < p * zmass
+        if mode == "joint":
+            cnt_t = jnp.sum(above.astype(jnp.float32), axis=-1,
+                            keepdims=True)
+            ok = jnp.logical_and(ok, cnt_t < k.astype(jnp.float32))
+        return ok
+
+    ok1 = test_(t1, q_t1)
+    acc = ok1.astype(jnp.int32)
+    tok = jnp.where(ok1, t1.astype(jnp.int32), tok0)
+    piv = jnp.where(ok1, jnp.float32(-1.0), q_t1)
+
+    def rcond(st):
+        r, acc, tok, piv = st
+        return jnp.logical_and(r < max_rounds, jnp.min(acc) < 1)
+
+    def rbody(st):
+        r, acc, tok, piv = st
+        live = q > piv
+        if cand is not None:
+            live = jnp.logical_and(live, cand)
+        t = jnp.argmax(jnp.where(live, z, 0.0), axis=-1, keepdims=True)
+        q_t = jnp.sum(jnp.where(idxv == t, q, 0.0), axis=-1, keepdims=True)
+        ok = test_(t, q_t)
+        newly = jnp.logical_and(ok, acc < 1)
+        tok = jnp.where(newly, t.astype(jnp.int32), tok)
+        acc = jnp.maximum(acc, ok.astype(jnp.int32))
+        piv = jnp.where(acc > 0, piv, q_t)
+        return r + 1, acc, tok, piv
+
+    _, _, tok, _ = jax.lax.while_loop(
+        rcond, rbody, (jnp.int32(1), acc, tok, piv))
+    tok_ref[:] = tok
+
+
+def _seed_from_key(key: jax.Array) -> jax.Array:
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(key)
+    else:
+        kd = key
+    kd = kd.reshape(-1)[:2].astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(kd, jnp.int32).reshape(1, 2)
+
+
+def kernel_eligible(shape: tuple[int, ...], interpret: bool) -> bool:
+    """The kernel pays off when the vocab sweep dominates; tiny shapes
+    stay on the jnp path (also the interpret-mode default, so CPU test
+    runs exercise the exact jnp reference unless a test opts in)."""
+    if len(shape) != 2:
+        return False
+    b, v = shape
+    return (not interpret) and v >= 2048 and b >= 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "input_kind", "rb", "bisect_iters",
+                     "max_rounds", "interpret"),
+)
+def pallas_sample(
+    scores: jax.Array,  # [B, V] f32 logits or probs
+    key: jax.Array,
+    top_k: jax.Array | None = None,  # [B] int32
+    top_p: jax.Array | None = None,  # [B] f32 (min_p for mode="minp")
+    *,
+    mode: str = "plain",
+    input_kind: str = "logits",
+    rb: int = 16,
+    bisect_iters: int = 32,
+    max_rounds: int = 32,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """One fused sampling step; returns tokens [B] int32."""
+    if mode not in _MODES:
+        raise ValueError(f"bad mode {mode!r}")
+    b, v = scores.shape
+    vp = (v + 127) // 128 * 128
+    sf = scores.astype(jnp.float32)
+    if vp != v:
+        fill = jnp.float32(-jnp.inf if input_kind == "logits" else 0.0)
+        sf = jnp.pad(sf, ((0, 0), (0, vp - v)), constant_values=fill)
+    rb = min(rb, max(8, b))
+    bp = (b + rb - 1) // rb * rb
+    if bp != b:
+        # edge-pad rows with REAL data: padded rows converge like normal
+        # rows, so the early-exit all() reductions aren't poisoned
+        sf = jnp.concatenate([sf, jnp.broadcast_to(sf[:1], (bp - b, vp))], 0)
+
+    k_arr = (jnp.broadcast_to(jnp.asarray(top_k, jnp.int32).reshape(-1, 1),
+                              (b, 1))
+             if top_k is not None else jnp.full((b, 1), v, jnp.int32))
+    p_arr = (jnp.broadcast_to(jnp.asarray(top_p, jnp.float32).reshape(-1, 1),
+                              (b, 1))
+             if top_p is not None else jnp.ones((b, 1), jnp.float32))
+    if bp != b:
+        k_arr = jnp.concatenate(
+            [k_arr, jnp.broadcast_to(k_arr[:1], (bp - b, 1))], 0)
+        p_arr = jnp.concatenate(
+            [p_arr, jnp.broadcast_to(p_arr[:1], (bp - b, 1))], 0)
+
+    interp = resolve_interpret(interpret)
+    gen_noise = not interp  # interpret-mode PRNG emulation yields zeros
+    grid = (bp // rb,)
+    in_specs = [
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, vp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [_seed_from_key(key), k_arr, p_arr, sf]
+    if not gen_noise:
+        u = jax.random.uniform(key, (bp, vp), jnp.float32,
+                               minval=1e-12, maxval=1.0)
+        operands.append(-jnp.log(u))
+        in_specs.append(
+            pl.BlockSpec((rb, vp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        functools.partial(_kernel, mode=mode, input_kind=input_kind,
+                          bisect_iters=bisect_iters, max_rounds=max_rounds,
+                          gen_noise=gen_noise),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rb, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pltpu.InterpretParams() if interp else False,
+    )(*operands)
+    return out[:b, 0]
