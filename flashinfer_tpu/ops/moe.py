@@ -224,32 +224,56 @@ def fused_moe_w8a8(
     # attribution r3: the elementwise glue, not the GEMMs, dominated.
     x8, xs = quant_rows(hidden_states.astype(jnp.float32))
     flat_expert = topk_ids.reshape(-1)
-    sort_idx = jnp.argsort(flat_expert)
-    row_token = sort_idx // k
-    experts_sorted = flat_expert[sort_idx]
-    group_sizes = jnp.bincount(experts_sorted, length=e).astype(jnp.int32)
-    x8_sorted = x8[row_token]
-    xs_sorted = xs[row_token]
+    tk = flat_expert.shape[0]
 
     if impl == "pallas" and activation in ("silu", "swiglu") \
             and h % 128 == 0 and w2_q.shape[1] % 128 == 0 \
             and w2_q.shape[2] % 128 == 0:
         from .moe_pallas import moe_expert_pipeline_w8a8
 
-        # fold the finalize unpermute into the pipeline's output gather
-        # (one gather instead of gather-then-gather; moe_finalize's
-        # weighted reduction stays here)
-        tk = sort_idx.shape[0]
-        inv = jnp.zeros((tk,), jnp.int32).at[sort_idx].set(
+        # Index math by STABLE COUNTING SORT (e is small): one-hot prefix
+        # sums give group sizes AND each assignment's sorted position
+        # (``dest`` == the finalize inverse permutation) without the
+        # argsort+bincount+inv-scatter chain (r5: 0.099 ms vs 0.128 ms
+        # at t4096 top2, and no 1D scatters on the critical path except
+        # the small sort_idx build).
+        oh = (flat_expert[:, None] == jnp.arange(e, dtype=jnp.int32)[None, :]
+              ).astype(jnp.int32)
+        pos = jnp.cumsum(oh, axis=0) - oh
+        slot = jnp.take_along_axis(pos, flat_expert[:, None], 1)[:, 0]
+        group_sizes = jnp.sum(oh, axis=0).astype(jnp.int32)
+        offs = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(group_sizes)[:-1].astype(jnp.int32)])
+        dest = offs[flat_expert] + slot  # [T*K] sorted position
+        sort_idx = jnp.zeros((tk,), jnp.int32).at[dest].set(
             jnp.arange(tk, dtype=jnp.int32))
-        y_assign = moe_expert_pipeline_w8a8(
-            x8_sorted, xs_sorted, group_sizes, w13_q,
+        row_token = sort_idx // k
+
+        # the WHOLE input side is one composed int8 gather (token rows ->
+        # padded tile layout, in_row_idx=row_token folds the expert sort
+        # in); the combine below is K unrolled gathers with the weighted
+        # add fused into each — the r4 reshape(T,K,H) combine
+        # materialized f32 intermediates and measured 0.305 ms vs ~0.07
+        # for this form
+        y_p, padded_row = moe_expert_pipeline_w8a8(
+            x8, xs, group_sizes, w13_q,
             w13_scale.astype(jnp.float32), w2_q,
-            w2_scale.astype(jnp.float32), out_gather_idx=inv)
-        contrib = y_assign.astype(jnp.float32).reshape(t, k, -1)
-        out = jnp.sum(
-            contrib * topk_weights[..., None].astype(jnp.float32), axis=1)
+            w2_scale.astype(jnp.float32), return_padded=True,
+            in_row_idx=row_token)
+        idx_tk = padded_row[dest].reshape(t, k)
+        wts = topk_weights.astype(jnp.float32)
+        out = y_p[idx_tk[:, 0]].astype(jnp.float32) * wts[:, 0, None]
+        for j in range(1, k):
+            out = out + y_p[idx_tk[:, j]].astype(jnp.float32) \
+                * wts[:, j, None]
         return out.astype(out_dtype)
+    sort_idx = jnp.argsort(flat_expert)
+    row_token = sort_idx // k
+    experts_sorted = flat_expert[sort_idx]
+    group_sizes = jnp.bincount(experts_sorted, length=e).astype(jnp.int32)
+    x8_sorted = x8[row_token]
+    xs_sorted = xs[row_token]
 
     acc1 = jax.lax.ragged_dot(
         x8_sorted, w13_q, group_sizes, preferred_element_type=jnp.int32)

@@ -127,9 +127,14 @@ def _fused_expert_kernel(
     halves so the VLIW scheduler always has an independent MXU dot
     (half j+1's gmm, half j's gmm2) to overlap with half j's VPU
     epilogue — the two-kernel form serialized dot -> epilogue per grid
-    step and measured 133 TF/s against the 371 TF/s a plain Pallas int8
-    dot reaches on the same chip (r4 microbench). The int8 intermediate
-    never touches HBM.
+    step. The int8 intermediate never touches HBM.
+
+    r5 re-measurement: the whole-tile straight-line form (split=1) runs
+    this pipeline at ~330 TF/s on padded work (0.536 ms at the t4096 e8
+    bench geometry) — the r4 "kernel at 133 TF/s" attribution was
+    dominated by the XLA gather/mask passes AROUND the kernel (since
+    removed); split>1 measured neutral once the glue was gone, so
+    split=1 is the default.
     """
     i2 = w13_ref.shape[2]
     i = i2 // 2
@@ -208,12 +213,14 @@ def moe_expert_pipeline_w8a8(
     w2_scale: jax.Array,  # [E, H] f32
     *,
     out_gather_idx: jax.Array | None = None,  # [R] sorted-row indices
-    tm: int = 512,
+    in_row_idx: jax.Array | None = None,  # [Ts] row map composed into the
+    # input gather (x8_sorted then holds UNSORTED rows indexed by it)
+    tm: int = 256,
     tn2: int = 512,
     interpret: bool | None = None,
     return_padded: bool = False,
     fused: bool | None = None,  # one-kernel pipeline (None = auto by VMEM)
-    split: int = 4,  # row halves for the fused kernel's MXU/VPU overlap
+    split: int = 1,  # row halves for the fused kernel's MXU/VPU overlap
     inter_mode: str = "int8",  # fused-kernel intermediate (see kernel)
 ) -> jax.Array:
     """Sorted rows in, bf16 expert outputs out.
@@ -224,7 +231,12 @@ def moe_expert_pipeline_w8a8(
     finalize unpermute in, avoiding a second full-size gather). With
     ``return_padded`` the raw ``([Tp, H], padded_row)`` pair is returned.
     """
-    ts, k = x8_sorted.shape
+    # with in_row_idx the rows array is UNSORTED token rows and the true
+    # sorted-row count is the index map's length (T*K assignments), not
+    # the token count
+    ts = (in_row_idx.shape[0] if in_row_idx is not None
+          else x8_sorted.shape[0])
+    k = x8_sorted.shape[1]
     e, _, i2 = w13_q.shape
     i = i2 // 2
     h = w2_q.shape[2]
@@ -234,15 +246,31 @@ def moe_expert_pipeline_w8a8(
     while h % tn2 != 0:
         tn2 -= 128
     assert tn2 >= 128 and i % 128 == 0 and k % 128 == 0
+    # static padding is e*tm rows of ALWAYS-EXECUTED MXU work: keep it
+    # under ~25% of the real rows by shrinking tm for many-expert calls
+    # (r5: e64 x tm512 padded the t4096-top8 workload by 2x)
+    while tm > 128 and e * tm * 4 > ts:
+        tm //= 2
 
     src_sorted, valid, padded_row, tile_e = _padded_layout(
         group_sizes, tm, ts)
     tp = src_sorted.shape[0]
     mt = tp // tm
-    # gather (not scatter!) into the padded layout
-    x_p = jnp.where(valid[:, None], x8_sorted[src_sorted], 0)
-    xs_p = jnp.where(valid[:, None],
-                     xs_sorted.astype(jnp.float32)[src_sorted], 0.0)
+    # gather (not scatter!) into the padded layout, optionally COMPOSED
+    # with the caller's token->sorted-row map (in_row_idx) so the whole
+    # input side is ONE int8 gather. Padding rows gather row 0's real
+    # bytes unmasked — their outputs never leave (dropped by the output
+    # gather), and int8 garbage cannot produce non-finite values, so the
+    # r4 `where(valid, ..., 0)` masking pass (a full [Tp, K] select) is
+    # dropped (r5: the XLA passes around the kernel, not the kernel,
+    # were half the "pipe" time).
+    if in_row_idx is not None:
+        gidx = in_row_idx[src_sorted]
+        x_p = x8_sorted[gidx]
+        xs_p = xs_sorted.astype(jnp.float32)[gidx]
+    else:
+        x_p = x8_sorted[src_sorted]
+        xs_p = xs_sorted.astype(jnp.float32)[src_sorted]
 
     # Mosaic requires the last TWO block dims to equal the array dims (or
     # be (8,128)-divisible): the w13 scale table rides as 3-D [E, 1, 2I]

@@ -208,3 +208,26 @@ def test_fused_moe_w8a8_pallas_many_experts(rng):
     scale = np.abs(ref).max()
     np.testing.assert_allclose(np.asarray(out, np.float32), ref,
                                atol=0.03 * scale)
+
+
+def test_fused_moe_w8a8_pallas_branch_parity(rng):
+    """Pallas-branch vs XLA-branch parity at 128-multiple shapes (the
+    dispatch condition), with top_k > 1 so the assignment count differs
+    from the token count — the r5 in_row_idx glue sized the padded
+    layout from the TOKEN count and silently processed a fraction of
+    the assignments; only %128 shapes reach that branch, which the
+    small-shape tests here never did."""
+    t, h, i, e, k = 64, 256, 128, 4, 2
+    x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+    w13 = jnp.asarray(rng.integers(-127, 128, (e, h, 2 * i)), jnp.int8)
+    w2 = jnp.asarray(rng.integers(-127, 128, (e, i, h)), jnp.int8)
+    s13 = jnp.asarray(rng.random((e, 2 * i)) * 1e-3 + 1e-4, jnp.float32)
+    s2 = jnp.asarray(rng.random((e, h)) * 1e-3 + 1e-4, jnp.float32)
+    ids = jnp.asarray(rng.integers(0, e, (t, k)), jnp.int32)
+    wts = jnp.asarray(rng.random((t, k)), jnp.float32)
+    a = np.asarray(moe.fused_moe_w8a8(x, w13, s13, w2, s2, ids, wts,
+                                      impl="pallas"), np.float32)
+    b = np.asarray(moe.fused_moe_w8a8(x, w13, s13, w2, s2, ids, wts,
+                                      impl="xla"), np.float32)
+    np.testing.assert_allclose(a, b, rtol=2e-2,
+                               atol=2e-2 * np.abs(b).max())
