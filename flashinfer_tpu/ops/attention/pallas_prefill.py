@@ -1119,6 +1119,8 @@ def _prefill_kernel_hm(
     # sub-chunks: the ceil-to-kb quantization otherwise computes an
     # average of ~kb/2 wasted columns of QK+PV per tile (VERDICT r2 #3
     # causal-boundary recovery); auto-disabled for variants/debug probes
+    carry2: bool = False,  # two-deep s-carry (measured negative; see
+    # make_body2)
 ):
     """Streaming prefill v2 (TPU production path).
 
@@ -1456,6 +1458,37 @@ def _prefill_kernel_hm(
             return m, l, acc, s_next
         return body
 
+    def make_body2(masked):
+        # TWO-DEEP s-carry (r5, VERDICT r4 ask #3 variant i): QK of chunk
+        # c+2 issues while the VPU still owns chunk c's softmax — a whole
+        # extra MXU matmul between producing s(c+1) and consuming it. DMA
+        # lookahead deepens to 3 chunks over the same 4 rotating slots.
+        # MEASURED NEGATIVE on v5e (r5 A/B, 4k causal llama geometry:
+        # 2.73 ms vs 2.21 ms for the 1-deep carry, same-process) — the
+        # extra live (rb, kb) f32 score block doubles the carry footprint
+        # and Mosaic's in-order schedule gains nothing: the skip-probe
+        # attribution shows QK/PV/softmax costs are ADDITIVE (no
+        # MXU/VPU overlap to deepen). Kept as an off-by-default knob and
+        # as the recorded experiment.
+        def body(c, carry):
+            m, l, acc, s_cur, s_next = carry
+
+            @pl.when(c + 3 < n_chunks)
+            def _pf():
+                issue(w, c + 3, slot_of(c + 3))
+
+            @pl.when(c + 3 == n_chunks)
+            def _pf_cross():
+                cross_work_issue()
+
+            nslot = slot_of(c + 2)
+            wait(nslot)
+            s_next2 = qk(nslot, c + 2)
+            m, l, acc = update(s_cur, c, m, l, acc, slot_of(c),
+                               masked=masked)
+            return m, l, acc, s_next, s_next2
+        return body
+
     # prologue: chunk 0 was DMA'd by the previous grid step (or bootstrap);
     # chunk 1's DMA must be in flight BEFORE the chunk-0 QK issues, or the
     # first body iteration eats the whole transfer latency
@@ -1476,7 +1509,43 @@ def _prefill_kernel_hm(
 
     use_fine_tail = (fine_tail and variant is None and debug_skip is None
                      and kb > SUB_TAIL)
-    if not use_fine_tail:
+    use_carry2 = (carry2 and not use_fine_tail and debug_skip is None)
+    if use_carry2:
+        @pl.when(n_chunks > 2)
+        def _pf2():
+            issue(w, 2, slot_of(2))
+
+        @pl.when(n_chunks == 2)
+        def _pf2_cross():
+            cross_work_issue()
+
+        # chunk 1's scores join the carry; for n_chunks == 1 the buffer
+        # is stale (never DMA'd) and every consumer below is select-ed
+        # away, so garbage — even NaN — cannot reach the output
+        @pl.when(n_chunks > 1)
+        def _wait1():
+            wait(slot_of(1))
+
+        s1 = qk(slot_of(1), 1)
+        cend = jnp.maximum(n_chunks - 2, 0)
+        c1 = jnp.minimum(n_clean, cend)
+        carry = jax.lax.fori_loop(
+            0, c1, make_body2(False), (m0, l0, acc0, s0, s1))
+        carry = jax.lax.fori_loop(c1, cend, make_body2(True), carry)
+        m, l, acc, s_cur, s_next = carry
+        # epilogue: the last two chunks from the carry (masked=True is a
+        # semantic no-op if chunk n-2 is clean)
+        m, l, acc = update(
+            s_cur, jnp.maximum(n_chunks - 2, 0), m, l, acc,
+            slot_of(jnp.maximum(n_chunks - 2, 0)), masked=True)
+        m2, l2, acc2 = update(
+            s_next, n_chunks - 1, m, l, acc, slot_of(n_chunks - 1),
+            masked=True)
+        two = n_chunks > 1
+        m = jnp.where(two, m2, m)
+        l = jnp.where(two, l2, l)
+        acc = jnp.where(two, acc2, acc)
+    elif not use_fine_tail:
         carry = jax.lax.fori_loop(
             0, n_clean, make_body(False), (m0, l0, acc0, s0))
         carry = jax.lax.fori_loop(
@@ -1602,6 +1671,7 @@ def prefill_packed_hm(
     kt_layout: bool = False,  # k_hm is the [H, D, R] transposed pool
     pv_split: int = 1,
     fine_tail: bool = False,
+    carry2: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Prefill v2: per-head grid, software-pipelined chunk loop, KV
     streamed from the 8-aligned head-major pool.
@@ -1645,7 +1715,7 @@ def prefill_packed_hm(
         emit_events=env.kernel_events and not interp,
         use_exp2=bool(use_exp2), debug_skip=debug_skip,
         kt_layout=bool(kt_layout), pv_split=int(pv_split),
-        fine_tail=bool(fine_tail),
+        fine_tail=bool(fine_tail), carry2=bool(carry2),
     )
     # sinks/alibi unused: shrink the per-step aux transfer to one tile
     # (a full [rb, 128] f32 block per grid step is ~67 MB of dead DMA
