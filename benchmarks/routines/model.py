@@ -19,7 +19,7 @@ from flashinfer_tpu.testing.utils import bench_loop
 def bench_model_decode(
     num_layers: int = 32, batch: int = 64, kv_len: int = 1024,
     page_size: int = 32, fp8_weights: bool = True, kv_dtype: str = "int8",
-    append_mode: str = "per_layer", iters: int = 32,
+    append_mode: str = "inject", iters: int = 32,
     weight_dtype: str | None = None, gemm_impl: str = "xla",
     fused_weights: bool = False,
 ) -> dict:

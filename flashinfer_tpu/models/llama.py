@@ -255,14 +255,24 @@ def init_kv_cache(
     return jnp.zeros(shape, dtype)
 
 
-def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+def _rope_tables(positions: jax.Array, d: int, theta: float):
+    """cos/sin tables for :func:`_rope` — position-only, so the decode
+    step computes them ONCE and reuses them across all layers (r5: the
+    per-layer recompute was 2L trig+broadcast passes per step)."""
+    half = d // 2
+    freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    ang = positions[..., None].astype(jnp.float32)[..., None, :] * freqs
+    return jnp.cos(ang), jnp.sin(ang)  # [..., 1, half]
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float,
+          tables=None) -> jax.Array:
     """RoPE on [B(, S), H, D] with per-row positions [B(, S)] (interleaved
     halves, reference pos_enc.cuh rotary convention)."""
     d = x.shape[-1]
     half = d // 2
-    freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
-    ang = positions[..., None].astype(jnp.float32)[..., None, :] * freqs  # [...,1,half]
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    cos, sin = tables if tables is not None else _rope_tables(
+        positions, d, theta)
     x1 = x[..., :half].astype(jnp.float32)
     x2 = x[..., half:].astype(jnp.float32)
     return jnp.concatenate(
@@ -382,7 +392,14 @@ def decode_step(
     kv_lens: jax.Array,  # [B] kv length INCLUDING the new token
     *,
     kv_scale: float = 1.0 / 32.0,  # dequant scale for int8/fp8 caches
-    append_mode: str = "per_layer",  # "per_layer" | "inject"
+    append_mode: str = "inject",  # "inject" (default; r5) | "per_layer"
+    # inject: the cache stays read-only through all 32 layers (the
+    # attention kernel folds the new token's (k, v) in as one extra
+    # online-softmax column) and ONE aliased Pallas append writes all
+    # L*B rows at the end — measured 20.3 vs 23.9 ms/step same-process
+    # vs per-layer appends at the 32L bench geometry (r4's inject used
+    # an XLA scatter, which copied the cache and failed to compile at
+    # 32L; with the batched aliased kernel the deferred form wins)
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """One decode step for a batch; returns (logits [B, V], updated cache).
@@ -444,6 +461,7 @@ def decode_step(
         return xs.astype(kv_caches.dtype)
 
     entry0 = page_table[b_idx, positions // page_size]  # [B]
+    rope_tabs = _rope_tables(positions, d, cfg.rope_theta)
     inject = append_mode == "inject"
     knew_all, vnew_all = [], []
     gimpl = cfg.decode_gemm_impl
@@ -453,8 +471,8 @@ def decode_step(
         h_in = x
         x = rmsnorm(x, lp["attn_norm"], eps=cfg.rms_eps)
         q, k, v = _qkv(x, lp, cfg, gimpl)
-        q = _rope(q, positions, cfg.rope_theta)
-        k = _rope(k, positions, cfg.rope_theta)
+        q = _rope(q, positions, cfg.rope_theta, tables=rope_tabs)
+        k = _rope(k, positions, cfg.rope_theta, tables=rope_tabs)
         k2, v2 = k.reshape(batch, hkv * d), v.reshape(batch, hkv * d)
 
         if inject:
@@ -491,8 +509,13 @@ def decode_step(
         x = h_in + _mlp(cfg, lp, x, gimpl).astype(x.dtype)
 
     if inject:
-        # one batched scatter: rows (l, b) -> flat page row entry0[b] +
-        # l*num_pages, slot off[b]
+        # ONE aliased Pallas append launch for all L*B rows (l, b) ->
+        # flat page row entry0[b] + l*num_pages, slot off[b] — the
+        # VERDICT r4 ask-#4 "batch page-appends across layers". The r4
+        # form was an XLA `.at[].set` scatter here, which broke the
+        # cache's linear ownership chain (full-cache copy) and failed to
+        # compile at 32L; the aliased kernel keeps the in-place contract
+        # and each (l, b) row owns a distinct page.
         kq = to_cache(jnp.stack(knew_all))  # [L, B, Hkv*D]
         vq = to_cache(jnp.stack(vnew_all))
         rows_idx = (entry0[None, :]
@@ -500,9 +523,9 @@ def decode_step(
                     ).reshape(-1)
         off_idx = jnp.broadcast_to(off[None, :], (num_layers, batch)
                                    ).reshape(-1)
-        upd = jnp.stack([kq.reshape(-1, hkv * d),
-                         vq.reshape(-1, hkv * d)], axis=1)  # [LB, 2, HkvD]
-        kv_flat = kv_flat.at[rows_idx, :, off_idx, :].set(upd)
+        kv_flat = paged_append_rows(
+            kv_flat, rows_idx, off_idx, kq.reshape(-1, hkv * d),
+            vq.reshape(-1, hkv * d), interpret=interpret)
 
     x = rmsnorm(x, params["final_norm"], eps=cfg.rms_eps)
     logits = _mm(x, params["lm_head"], gimpl).astype(jnp.float32)

