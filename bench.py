@@ -300,6 +300,7 @@ def main() -> None:
 
     _emit(_metric("sparse_mla", cap_s=380.0))
     _emit(probed("gemm_fp8", 120.0, gemm_probe))
+    _emit(probed("gemm_fp4", 120.0, gemm_probe))
     _emit(probed("moe_w8a8_large", 200.0, 2 * gemm_probe))
     _emit(_metric("mla_decode_bf16", cap_s=120.0))
     # cheap correctness line: native ragged_all_to_all executes on the

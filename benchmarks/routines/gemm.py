@@ -73,3 +73,32 @@ def bench_mm_fp8_groupwise(m: int = 4096, k: int = 4096, n: int = 4096
     return {"routine": "mm_fp8_groupwise", "ms": round(dt * 1e3, 3),
             "metric": "TFLOP/s", "value": round(tf, 1),
             "vs_roofline": round(tf / V5E_BF16_TFLOPS, 4)}
+
+
+def bench_mm_fp4(m: int = 4096, k: int = 4096, n: int = 4096) -> dict:
+    """FP4 (e2m1, NVFP4-style sf_block=16) dequant-fused GEMM TFLOP/s
+    vs the bf16 roofline — the evidence row for SURVEY §7's
+    dequant-under-matmul claim (reference fp4_gemm_cutlass.h role;
+    VERDICT r4 ask #10)."""
+    import numpy as np_
+
+    from flashinfer_tpu.ops.gemm_pallas import (
+        fp4_mm, pack_fp4_weights_for_gemm,
+    )
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    codes = jnp.asarray(rng.integers(0, 16, (k, n)), jnp.uint8)
+    packed = pack_fp4_weights_for_gemm(codes)
+    b_scale = jnp.asarray(rng.random((k // 16, n)) * 0.1 + 0.01,
+                          jnp.float32)
+
+    def step(x, packed, b_scale):
+        return fp4_mm(x, packed, b_scale).astype(x.dtype)[:, :k]
+
+    dt = bench_loop(step, a, packed, b_scale, iters=24, base_iters=4)
+    tf = 2 * m * k * n / dt / 1e12
+    return {"routine": "mm_fp4", "ms": round(dt * 1e3, 3),
+            "config": f"{m}x{k}x{n} e2m1 sf16",
+            "metric": "TFLOP/s", "value": round(tf, 1),
+            "vs_roofline": round(tf / V5E_BF16_TFLOPS, 4)}

@@ -134,7 +134,7 @@ def _registry() -> dict:
         bench_sparse_mla_decode,
     )
     from benchmarks.routines.gemm import (
-        bench_mm_bf16, bench_mm_fp8_groupwise, bench_mm_int8,
+        bench_mm_bf16, bench_mm_fp4, bench_mm_fp8_groupwise, bench_mm_int8,
     )
     from benchmarks.routines.moe import bench_fused_moe, bench_fused_moe_phases
     from benchmarks.routines.model import (
@@ -148,6 +148,7 @@ def _registry() -> dict:
         "gemm_bf16": bench_mm_bf16,
         "gemm_int8": bench_mm_int8,
         "gemm_fp8": bench_mm_fp8_groupwise,
+        "gemm_fp4": bench_mm_fp4,
         "decode_attention": lambda: _best_of(bench_decode_attention, 2),
         "decode_attention_once": bench_decode_attention,
         "prefill_attention": bench_prefill_attention,

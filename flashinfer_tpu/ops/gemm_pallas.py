@@ -215,15 +215,17 @@ def e2m1_decode(nibbles: jax.Array) -> jax.Array:
     Magnitudes: 0, .5, 1, 1.5, 2, 3, 4, 6 (reference FP4 contract,
     csrc/fp4_kv_quantization.cu semantics).
     """
-    sign = jnp.where((nibbles & 8) != 0, -1.0, 1.0)
-    e = (nibbles >> 1) & 3
-    mfrac = (nibbles & 1).astype(jnp.float32)
-    mag = jnp.where(
-        e == 0,
-        0.5 * mfrac,
-        jnp.exp2((e - 1).astype(jnp.float32)) * (1.0 + 0.5 * mfrac),
-    )
-    return sign * mag
+    # branchless f32 BIT CONSTRUCTION (r5): magnitudes [0, .5, 1, 1.5, 2,
+    # 3, 4, 6] map to exponent 126 + (m3 >> 1) with one mantissa bit —
+    # pure int ops + one bitcast instead of the exp2 transcendental +
+    # select chain (the r4 form dominated the fp4 GEMM at ~26 TF/s)
+    n = nibbles.astype(jnp.int32)
+    m3 = n & 7
+    sign = (n & 8) << 28  # bit 31
+    e32 = jnp.where(m3 >= 1, 126 + (m3 >> 1), 0)
+    mant = jnp.where(m3 >= 2, (m3 & 1) << 22, 0)
+    bits = sign | (e32 << 23) | mant
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
 def _fp4_mm_kernel(
