@@ -222,13 +222,34 @@ def main() -> None:
     _emit(w)
     _T0 = time.time()
 
-    # --- probes: they anchor every later roofline ------------------------
-    g = _metric("gemm_bf16", cap_s=240.0)
-    _emit(g)
-    gemm_probe = (g or {}).get("value") or V5E_NOMINAL_BF16
-    s = _metric("hbm_stream", cap_s=150.0)
-    _emit(s)
-    stream_probe = (s or {}).get("value") or V5E_NOMINAL_BW
+    # --- probes: they anchor every later roofline. A physically
+    # impossible probe poisons EVERY downstream vs_probe (r5 run: the
+    # gemm probe itself printed 1473 TF/s on a jittery draw), so probes
+    # get the same guard as metrics: re-measure once, then fall back to
+    # the nominal chip numbers and say so. ------------------------------
+    def probe(name, cap_s, nominal, ceiling):
+        r = _metric(name, cap_s)
+        if r is not None and "value" in r and r["value"] > ceiling:
+            r2 = _metric(name, cap_s)
+            if r2 is not None and "value" in r2 and r2["value"] <= ceiling:
+                r2["remeasured"] = True
+                r = r2
+            else:
+                r = r2 if (r2 is not None and "value" in r2
+                           and r2["value"] < r["value"]) else r
+                if r.get("value", 0) > ceiling:
+                    r["suspect"] = True
+                    r["suspect_reason"] = "exceeds physical ceiling"
+                    r["value_used"] = nominal
+        _emit(r)
+        if r is None or "value" not in r:
+            return nominal
+        return r.get("value_used", r["value"])
+
+    gemm_probe = probe("gemm_bf16", 240.0, V5E_NOMINAL_BF16,
+                       V5E_NOMINAL_BF16 * 1.3)
+    stream_probe = probe("hbm_stream", 150.0, V5E_NOMINAL_BW,
+                         V5E_NOMINAL_BW * 1.3)
 
     def headline_line(r: dict) -> dict:
         return {

@@ -17,8 +17,11 @@ def bench_mm_bf16(m: int = 4096, k: int = 4096, n: int = 4096) -> dict:
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
     b = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
+    # this routine is the PROBE that anchors every roofline: iters was 16
+    # with a 1-iter base, and one jittery base draw printed 1473 TF/s in
+    # an r5 run (vs_roofline 7.5) — larger spans make the delta robust
     dt = bench_loop(lambda x, b: mm_bf16(x, b).astype(x.dtype), a, b,
-                    iters=16)
+                    iters=48, base_iters=8)
     tf = 2 * m * k * n / dt / 1e12
     return {"routine": "mm_bf16", "ms": round(dt * 1e3, 3),
             "metric": "TFLOP/s", "value": round(tf, 1),

@@ -664,7 +664,17 @@ def top_k_renorm_probs(
     probs, squeeze = _ensure_2d(probs)
     probs = _maybe_gather(probs, indices)
     pf = probs.astype(jnp.float32)
-    tau = _top_k_threshold(pf, jnp.broadcast_to(jnp.asarray(top_k), (pf.shape[0],)))
+    k_arr = jnp.broadcast_to(jnp.asarray(top_k), (pf.shape[0],))
+    if _use_tpu_fast() and pf.shape[-1] >= 2048:
+        from .sampling_pallas import pallas_sample
+
+        # the kernel's tau_k mode runs the whole threshold search
+        # VMEM-resident (the jnp form below is 32 separate HBM sweeps)
+        tau = pallas_sample(pf, jax.random.PRNGKey(0),
+                            top_k=k_arr.astype(jnp.int32),
+                            mode="tau_k", input_kind="probs")[:, None]
+    else:
+        tau = _top_k_threshold(pf, k_arr)
     pk = jnp.where(pf >= tau, pf, 0.0)
     pk = pk / jnp.maximum(jnp.sum(pk, -1, keepdims=True), 1e-38)
     pk = pk.astype(probs.dtype)
@@ -690,6 +700,21 @@ def top_k_mask_logits(
     # sampling.cuh:1202 avoids this by working on logits too).
     k_arr = jnp.asarray(top_k, jnp.int32).reshape(-1, 1)
     k_arr = jnp.broadcast_to(k_arr, (lf.shape[0], 1))
+    if _use_tpu_fast() and lf.shape[-1] >= 2048:
+        from .sampling_pallas import pallas_sample
+
+        # kernel tau is exp->log round-tripped (q-space search): nudge
+        # down by ~4 ulp so the k-th logit itself is never excluded;
+        # near-ties within 1e-6 relative may then be kept extra — the
+        # same tie-inclusive slack the 32-round bisection has at its
+        # interval floor
+        tau = pallas_sample(lf, jax.random.PRNGKey(0),
+                            top_k=k_arr[:, 0],
+                            mode="tau_k", input_kind="logits")[:, None]
+        tau = tau - jnp.abs(tau) * 5e-7 - 1e-12
+        finite = lf > _NEG_INF
+        out = jnp.where(jnp.logical_and(lf >= tau, finite), lf, _NEG_INF)
+        return (out[0] if squeeze else out).astype(logits.dtype)
     mx = jnp.max(lf, axis=-1, keepdims=True)
     finite = lf > _NEG_INF
     mn = jnp.min(jnp.where(finite, lf, mx), axis=-1, keepdims=True)

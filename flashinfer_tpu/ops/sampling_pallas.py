@@ -55,7 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..env import resolve_interpret
 
-_MODES = ("plain", "topk", "topp", "joint", "topk_first", "minp")
+_MODES = ("plain", "topk", "topp", "joint", "topk_first", "minp",
+          "tau_k")
 
 
 def _uniform_from_bits(bits: jax.Array) -> jax.Array:
@@ -79,12 +80,14 @@ def _kernel(
         # production TPU path: Exp(1) noise from the on-chip PRNG
         seed_ref, k_ref, p_ref, s_ref, tok_ref = refs
         rb, v = s_ref.shape
-        # Mosaic caps prng_seed at 2 values: fold the block id into seed0
-        # (Knuth multiplicative hash) so row blocks get independent bits
-        pltpu.prng_seed(
-            seed_ref[0, 0] + pl.program_id(0) * jnp.int32(-1640531527),
-            seed_ref[0, 1])
-        e = -jnp.log(_uniform_from_bits(pltpu.prng_random_bits((rb, v))))
+        if mode != "tau_k":  # threshold-only mode draws no sample
+            # Mosaic caps prng_seed at 2 values: fold the block id into
+            # seed0 (Knuth hash) so row blocks get independent bits
+            pltpu.prng_seed(
+                seed_ref[0, 0] + pl.program_id(0) * jnp.int32(-1640531527),
+                seed_ref[0, 1])
+            e = -jnp.log(
+                _uniform_from_bits(pltpu.prng_random_bits((rb, v))))
     else:
         # interpret/test path: host-generated noise (the interpret-mode
         # PRNG emulation returns zeros, which would degenerate to argmax)
@@ -100,7 +103,8 @@ def _kernel(
     else:
         q = jnp.maximum(s, 0.0)
         q_hi = jnp.maximum(mx, jnp.float32(1e-38))
-    z = q / e  # exponential race: argmax(z | S) ~ q | S exactly
+    z = None if (gen_noise and mode == "tau_k") else (
+        q / e)  # exponential race: argmax(z | S) ~ q | S exactly
     idxv = jax.lax.broadcasted_iota(jnp.int32, (rb, v), 1)
 
     if mode == "plain":
@@ -114,7 +118,7 @@ def _kernel(
         tok_ref[:] = jnp.argmax(zm, axis=-1, keepdims=True).astype(jnp.int32)
         return
 
-    need_k = mode in ("topk", "joint", "topk_first")
+    need_k = mode in ("topk", "joint", "topk_first", "tau_k")
     need_p = mode in ("topp", "joint", "topk_first")
     k = k_ref[:] if need_k else None
     p = p_ref[:] if need_p else None
@@ -129,7 +133,7 @@ def _kernel(
     # count(q >= mid) == k fires after ~9-12 rounds; Mosaic's while
     # scalar-sync overhead measured ~free vs the 2-op vector sweep).
     tau = jnp.zeros_like(mx)
-    if mode in ("topk", "topk_first"):
+    if mode in ("topk", "topk_first", "tau_k"):
         kf = k.astype(jnp.float32)
         hi0 = jnp.minimum(q_hi, zt / kf)
         # seed round: if count(q >= hi0) >= k then tau == hi0 exactly
@@ -160,6 +164,18 @@ def _kernel(
             bcond, bbody,
             (jnp.int32(0), jnp.zeros_like(mx), hi0, tau, done0))
         tau = jnp.where(done > 0, tau, lo)
+
+    if mode == "tau_k":
+        # threshold-only mode for renorm/mask consumers: the exact
+        # tie-inclusive top-k threshold IN INPUT SPACE. For logits input
+        # tau is on q = exp(s - mx), so return mx + log(tau) (callers
+        # compare s >= tau_out); probs input returns tau directly.
+        if input_kind == "logits":
+            tok_ref[...] = pltpu.bitcast(
+                mx + jnp.log(jnp.maximum(tau, 1e-38)), jnp.int32)
+        else:
+            tok_ref[...] = pltpu.bitcast(tau, jnp.int32)
+        return
 
     cand = q >= tau if mode in ("topk", "topk_first") else None
 
@@ -319,4 +335,6 @@ def pallas_sample(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interp else False,
     )(*operands)
+    if mode == "tau_k":
+        return jax.lax.bitcast_convert_type(out[:b, 0], jnp.float32)
     return out[:b, 0]
