@@ -262,7 +262,22 @@ def main() -> None:
         }
 
     # --- headline FIRST (early print survives any later kill) -----------
+    # decode bandwidth is physically capped near the nominal HBM rate;
+    # a delta-timing artifact can print more (r5 run: a refinement
+    # sample recorded 1022 GB/s = 1.25x nominal and best-of-N SELECTED
+    # it) — reject impossible samples instead of keeping them
+    HEADLINE_CAP = V5E_NOMINAL_BW * 1.08
+
+    def sane_headline(r):
+        return r is not None and "value" in r and r["value"] <= HEADLINE_CAP
+
     best = _metric("decode_attention", cap_s=240.0)
+    if best is not None and "value" in best and not sane_headline(best):
+        best["suspect"] = True
+        _emit(best)
+        best = _metric("decode_attention", cap_s=240.0)
+    if not sane_headline(best):
+        best = None
     if best is not None and "value" in best:
         early = headline_line(best)
         early["metric"] = "paged_decode_attention_bw_early"
@@ -334,13 +349,13 @@ def main() -> None:
 
     _run_scaling()
 
-    # --- headline refinement: chip warms monotonically; take best -------
+    # --- headline refinement: chip warms monotonically; take best SANE
     for _ in range(2):
         if _remaining() < 90.0:
             break
         r = _metric("decode_attention_once", cap_s=120.0)
-        if r and "value" in r and (best is None
-                                   or r["value"] > best["value"]):
+        if sane_headline(r) and (best is None
+                                 or r["value"] > best["value"]):
             best = r
 
     try:
