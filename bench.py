@@ -68,6 +68,8 @@ class _Worker:
         self._p: subprocess.Popen | None = None
         self._q: queue.Queue[str | None] = queue.Queue()
         self._warmup_failures = 0  # circuit breaker for a wedged tunnel
+        self._wedged_at = 0.0
+        self._wedge_resets = 0
 
     def _ensure(self) -> bool:
         if self._p is not None and self._p.poll() is None:
@@ -100,11 +102,25 @@ class _Worker:
         """Run one metric under a deadline. Prints nothing; returns the
         parsed result dict, or None (a line was printed by the caller)."""
         if self._warmup_failures >= 2:
-            print(json.dumps(
-                {"metric": name,
-                 "skipped": "tunnel wedged (2 warm-up failures)"}),
-                flush=True)
-            return None
+            # one cool-down retry: a wedged tunnel draw often clears in
+            # minutes, and burning the rest of the budget on skips wins
+            # nothing (r5: a run recorded 23/23 skips after two early
+            # warm-up timeouts)
+            if (self._wedge_resets < 2
+                    and time.time() - self._wedged_at > 150.0
+                    and _remaining() > 420.0):
+                self._wedge_resets += 1
+                self._warmup_failures = 0
+                print(json.dumps(
+                    {"metric": "tunnel_retry",
+                     "note": f"circuit-breaker reset {self._wedge_resets}"
+                     }), flush=True)
+            else:
+                print(json.dumps(
+                    {"metric": name,
+                     "skipped": "tunnel wedged (2 warm-up failures)"}),
+                    flush=True)
+                return None
         restarted = self._p is None
         if not self._ensure():
             print(json.dumps({"metric": name, "error": "worker spawn"}),
@@ -116,6 +132,7 @@ class _Worker:
                                             _remaining() + 10.0))
             if w is None:
                 self._warmup_failures += 1
+                self._wedged_at = time.time()
                 print(json.dumps(
                     {"metric": name,
                      "error": "worker warm-up timeout (tunnel wedged)"}),
@@ -219,6 +236,7 @@ def main() -> None:
     w = _WORKER.run("warmup", cap_s=_WARMUP_CAP_S)
     if w is None:
         _WORKER._warmup_failures += 1
+        _WORKER._wedged_at = time.time()
     _emit(w)
     _T0 = time.time()
 

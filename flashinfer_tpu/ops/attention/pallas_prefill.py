@@ -1440,13 +1440,24 @@ def _prefill_kernel_hm(
         def body(c, carry):
             m, l, acc, s_cur = carry
 
-            @pl.when(c + 2 < n_chunks)
-            def _pf():
-                issue(w, c + 2, slot_of(c + 2))
+            # exactly ONE prefetch fires per iteration (c+2 < n: this
+            # work's chunk c+2; c+2 == n: the next grid step's chunk 0)
+            # — a single selected issue replaces the r4 pair of pl.when
+            # branches, part of the measured ~0.7 us/chunk non-compute
+            # overhead (r5 cost model)
+            cross = c + 2 >= n_chunks
+            wrap = w + 1 >= num_w
+            nxt_w = jnp.where(wrap, 0, w + 1)
+            nxt_h = jnp.minimum(jnp.where(wrap, h + 1, h), num_h - 1)
+            wi = jnp.where(cross, nxt_w, w)
+            ch = jnp.where(cross, 0, c + 2)
+            slot = jnp.where(cross, 5 - parity, slot_of(c + 2))
+            hh = jnp.where(cross, nxt_h, h)
+            have_next = jnp.logical_or(w + 1 < num_w, h + 1 < num_h)
 
-            @pl.when(c + 2 == n_chunks)
-            def _pf_cross():
-                cross_work_issue()
+            @pl.when(jnp.logical_or(jnp.logical_not(cross), have_next))
+            def _pf():
+                issue(wi, ch, slot, hh=hh)
 
             # QK of chunk c+1 issues on the MXU before the VPU touches
             # chunk c's scores — in-order VLIW overlaps them
