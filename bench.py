@@ -352,14 +352,17 @@ def main() -> None:
         r["vs_probe_ceiling"] = round(r["value"] / draw_ceiling, 4)
     _emit(r)
 
+    # cheap correctness line early (novel evidence beats re-measures):
+    # native ragged_all_to_all executes on the real chip and matches the
+    # dense transport (ask #6)
+    _emit(_metric("ep_ragged_native", cap_s=120.0))
     _emit(_metric("sparse_mla", cap_s=380.0))
     _emit(probed("gemm_fp8", 120.0, gemm_probe))
     _emit(probed("gemm_fp4", 120.0, gemm_probe))
-    _emit(probed("moe_w8a8_large", 200.0, 2 * gemm_probe))
+    # r5: first-compile of the e64 x h7168 pipeline blew a 200 s cap on
+    # a slow draw
+    _emit(probed("moe_w8a8_large", 300.0, 2 * gemm_probe))
     _emit(_metric("mla_decode_bf16", cap_s=120.0))
-    # cheap correctness line: native ragged_all_to_all executes on the
-    # real chip and matches the dense transport (ask #6)
-    _emit(_metric("ep_ragged_native", cap_s=120.0))
     _emit(_metric("model_ttft", cap_s=200.0))
     # r4: first-compile of the 8L MLA+MoE model inside 200 s was marginal
     # on slow draws (1/3 one-shot failure rate) — widened (ask #5c)
