@@ -62,12 +62,6 @@ def pack_e2m1(codes: jax.Array) -> jax.Array:
     return (lo | (hi << 4)).astype(jnp.uint8)
 
 
-def unpack_e2m1(packed: jax.Array) -> jax.Array:
-    lo = (packed & 0xF).astype(jnp.int32)
-    hi = (packed >> 4).astype(jnp.int32)
-    out = jnp.stack([lo, hi], axis=-1)
-    return out.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
-
 
 def fp4_quantize(
     x: jax.Array,  # [..., K] with K % (2*sf_block) == 0
@@ -105,6 +99,19 @@ def fp4_quantize(
     return packed, scale_stored
 
 
+def _e2m1_to_f32(codes: jax.Array) -> jax.Array:
+    """Branchless e2m1 code -> f32 via bit construction (magnitudes
+    [0, .5, 1, 1.5, 2, 3, 4, 6] = exponent 126 + (m>>1), one mantissa
+    bit) — int ops + one bitcast, no f32 select chains."""
+    n = codes.astype(jnp.int32)
+    m3 = n & 7
+    sign = (n & 8) << 28
+    e32 = jnp.where(m3 >= 1, 126 + (m3 >> 1), 0)
+    mant = jnp.where(m3 >= 2, (m3 & 1) << 22, 0)
+    return jax.lax.bitcast_convert_type(sign | (e32 << 23) | mant,
+                                        jnp.float32)
+
+
 def fp4_dequantize(
     packed: jax.Array,
     scales: jax.Array,
@@ -112,15 +119,26 @@ def fp4_dequantize(
     sf_vec_size: int = 16,
     dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """Dequantize packed e2m1 (reference fp4_dequantize / mxfp4_dequantize)."""
-    vals = e2m1_decode(unpack_e2m1(packed))
-    k = vals.shape[-1]
+    """Dequantize packed e2m1 (reference fp4_dequantize / mxfp4_dequantize).
+
+    Memory-lean form (r5): the original unpack-to-int32-stack +
+    f32-select decode materialized ~64x the packed bytes in
+    intermediates and OOM'd a 16 GB chip dequantizing a 0.25 GB
+    KV cache; this path decodes nibble planes straight to scaled
+    values and interleaves once at the output width.
+    """
+    k = packed.shape[-1] * 2
     sf = scales.astype(jnp.float32)
     if global_scale is not None:
         sf = sf * global_scale
-    vals = vals.reshape(*vals.shape[:-1], k // sf_vec_size, sf_vec_size)
-    out = vals * sf[..., None]
-    return out.reshape(*out.shape[:-2], k).astype(dtype)
+    # per-element scale for the nibble planes: scale block i covers
+    # output columns [i*sf, (i+1)*sf) = packed columns [i*sf/2, ...) —
+    # both planes of a packed column share its block scale
+    sf_half = jnp.repeat(sf, sf_vec_size // 2, axis=-1)  # [..., K//2]
+    lo = (_e2m1_to_f32(packed & 0xF) * sf_half).astype(dtype)
+    hi = (_e2m1_to_f32(packed >> 4) * sf_half).astype(dtype)
+    out = jnp.stack([lo, hi], axis=-1)
+    return out.reshape(*packed.shape[:-1], k)
 
 
 def mxfp4_quantize(x: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -269,38 +269,6 @@ def _top_p_threshold(probs: jax.Array, top_p: jax.Array,
     return _map_row_chunks(chunk, probs, p_arr)
 
 
-def _joint_thresholds(probs: jax.Array, k_arr: jax.Array,
-                      p_arr: jax.Array, iters: int = 32):
-    """Both thresholds in ONE fused sweep per iteration: the count
-    (top-k) and mass (top-p) bisections carry their bounds through the
-    same fori_loop, so XLA reads the [B, V] operand once per step
-    instead of twice (the reference's joint dual-pivot kernel role,
-    sampling.cuh:1202)."""
-    def chunk(pr, k, p):
-        hi0 = jnp.max(pr, axis=-1, keepdims=True)
-        z = jnp.zeros_like(hi0)
-
-        def body(_, st):
-            lo_k, hi_k, lo_p, hi_p = st
-            mid_k = (lo_k + hi_k) * 0.5
-            mid_p = (lo_p + hi_p) * 0.5
-            cnt = jnp.sum((pr >= mid_k).astype(jnp.int32), axis=-1,
-                          keepdims=True)
-            mass = jnp.sum(jnp.where(pr >= mid_p, pr, 0.0), axis=-1,
-                           keepdims=True)
-            okk = cnt >= k
-            okp = mass >= p
-            return (jnp.where(okk, mid_k, lo_k),
-                    jnp.where(okk, hi_k, mid_k),
-                    jnp.where(okp, mid_p, lo_p),
-                    jnp.where(okp, hi_p, mid_p))
-
-        lo_k, _, lo_p, _ = jax.lax.fori_loop(
-            0, iters, body, (z, hi0, z, hi0))
-        return lo_k, lo_p
-
-    return _map_row_chunks(chunk, probs, k_arr, p_arr)
-
 
 def _rejection_sample(
     s: jax.Array,  # [B, V] f32 scores; the target dist is softmax(s)|S

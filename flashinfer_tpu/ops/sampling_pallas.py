@@ -249,15 +249,6 @@ def _seed_from_key(key: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(kd, jnp.int32).reshape(1, 2)
 
 
-def kernel_eligible(shape: tuple[int, ...], interpret: bool) -> bool:
-    """The kernel pays off when the vocab sweep dominates; tiny shapes
-    stay on the jnp path (also the interpret-mode default, so CPU test
-    runs exercise the exact jnp reference unless a test opts in)."""
-    if len(shape) != 2:
-        return False
-    b, v = shape
-    return (not interpret) and v >= 2048 and b >= 1
-
 
 @functools.partial(
     jax.jit,
