@@ -135,10 +135,19 @@ def fp4_dequantize(
     # output columns [i*sf, (i+1)*sf) = packed columns [i*sf/2, ...) —
     # both planes of a packed column share its block scale
     sf_half = jnp.repeat(sf, sf_vec_size // 2, axis=-1)  # [..., K//2]
-    lo = (_e2m1_to_f32(packed & 0xF) * sf_half).astype(dtype)
-    hi = (_e2m1_to_f32(packed >> 4) * sf_half).astype(dtype)
-    out = jnp.stack([lo, hi], axis=-1)
-    return out.reshape(*packed.shape[:-1], k)
+    lo = (_e2m1_to_f32(packed & 0xF) * sf_half).astype(jnp.bfloat16)
+    hi = (_e2m1_to_f32(packed >> 4) * sf_half).astype(jnp.bfloat16)
+    # interleave [lo0, hi0, lo1, hi1, ...] WITHOUT a trailing dim of 2:
+    # a [..., K//2, 2] intermediate tile-pads 64x on TPU (measured: a
+    # 0.25 GB cache dequant allocated 16 GB) — instead pack each bf16
+    # pair into one u32 and bitcast, which is physically the
+    # interleaved row
+    lo16 = jax.lax.bitcast_convert_type(lo, jnp.uint16).astype(jnp.uint32)
+    hi16 = jax.lax.bitcast_convert_type(hi, jnp.uint16).astype(jnp.uint32)
+    u32 = (hi16 << 16) | lo16
+    out = jax.lax.bitcast_convert_type(u32, jnp.bfloat16).reshape(
+        *packed.shape[:-1], k)
+    return out if dtype == jnp.bfloat16 else out.astype(dtype)
 
 
 def mxfp4_quantize(x: jax.Array) -> tuple[jax.Array, jax.Array]:

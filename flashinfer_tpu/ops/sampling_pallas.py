@@ -75,6 +75,7 @@ def _kernel(
     bisect_iters: int,
     max_rounds: int,
     gen_noise: bool,
+    secant: bool = False,
 ):
     if gen_noise:
         # production TPU path: Exp(1) noise from the on-chip PRNG
@@ -144,13 +145,31 @@ def _kernel(
         tau = jnp.where(ok0, hi0, 0.0)
         done0 = ok0.astype(jnp.int32)
 
+        # DATA-DRIVEN pivots (the reference dual-pivot's convergence
+        # trick, sampling.cuh:1202, in bracketing form): the q tail is
+        # ~exponential, so log-count is ~linear in the threshold — the
+        # first SECANT_ROUNDS pivots interpolate log-count to k; later
+        # rounds fall back to midpoint so worst-case exactness is the
+        # plain 32-round bisection. Counts ride the state so each round
+        # costs the same ONE sweep. MEASURED NEUTRAL-TO-NEGATIVE on the
+        # one clean r5 draw (topk rb16 0.200 ms vs 0.177 midpoint;
+        # equality-exit appears to fire later when pivots hover NEAR but
+        # not IN the k-th gap) — default OFF, kept as the recorded
+        # experiment (secant=True to enable).
+        SECANT_ROUNDS = 6 if secant else 0
+
         def bcond(st):
-            r, lo, hi, tau, done = st
-            return jnp.logical_and(r < bisect_iters, jnp.min(done) < 1)
+            r, lo, hi, clo, chi, tau, done = st
+            return jnp.logical_and(r < bisect_iters + SECANT_ROUNDS,
+                                   jnp.min(done) < 1)
 
         def bbody(st):
-            r, lo, hi, tau, done = st
-            mid = 0.5 * (lo + hi)
+            r, lo, hi, clo, chi, tau, done = st
+            num = jnp.log((clo + 1.0) / (kf + 1.0))
+            den = jnp.maximum(jnp.log((clo + 1.0) / (chi + 1.0)), 1e-6)
+            frac = jnp.clip(num / den, 0.08, 0.92)
+            sec = lo + (hi - lo) * frac
+            mid = jnp.where(r < SECANT_ROUNDS, sec, 0.5 * (lo + hi))
             cnt = jnp.sum((q >= mid).astype(jnp.float32), axis=-1,
                           keepdims=True)
             ok = cnt >= kf
@@ -158,11 +177,15 @@ def _kernel(
             tau = jnp.where(eq, mid, tau)
             done = jnp.maximum(done, eq.astype(jnp.int32))
             return (r + 1, jnp.where(ok, mid, lo),
-                    jnp.where(ok, hi, mid), tau, done)
+                    jnp.where(ok, hi, mid),
+                    jnp.where(ok, cnt, clo), jnp.where(ok, chi, cnt),
+                    tau, done)
 
-        _, lo, _, tau, done = jax.lax.while_loop(
+        _, lo, _, _, _, tau, done = jax.lax.while_loop(
             bcond, bbody,
-            (jnp.int32(0), jnp.zeros_like(mx), hi0, tau, done0))
+            (jnp.int32(0), jnp.zeros_like(mx), hi0,
+             jnp.full_like(mx, float(v)), jnp.maximum(c0, 1.0),
+             tau, done0))
         tau = jnp.where(done > 0, tau, lo)
 
     if mode == "tau_k":
@@ -253,7 +276,7 @@ def _seed_from_key(key: jax.Array) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "input_kind", "rb", "bisect_iters",
-                     "max_rounds", "interpret"),
+                     "max_rounds", "secant", "interpret"),
 )
 def pallas_sample(
     scores: jax.Array,  # [B, V] f32 logits or probs
@@ -266,6 +289,7 @@ def pallas_sample(
     rb: int = 16,
     bisect_iters: int = 32,
     max_rounds: int = 32,
+    secant: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:
     """One fused sampling step; returns tokens [B] int32."""
@@ -316,7 +340,7 @@ def pallas_sample(
     out = pl.pallas_call(
         functools.partial(_kernel, mode=mode, input_kind=input_kind,
                           bisect_iters=bisect_iters, max_rounds=max_rounds,
-                          gen_noise=gen_noise),
+                          gen_noise=gen_noise, secant=secant),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((rb, 1), lambda i: (i, 0),
