@@ -37,6 +37,7 @@ from .page import (  # noqa: F401
 from .ops.attention.decode import (  # noqa: F401
     BatchDecodeWithPagedKVCacheWrapper,
     CUDAGraphBatchDecodeWithPagedKVCacheWrapper,
+    recommended_page_size,
     single_decode_with_kv_cache,
 )
 from .ops.attention.prefill import (  # noqa: F401

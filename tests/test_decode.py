@@ -122,3 +122,11 @@ def test_decode_fp8_kv(rng):
             np.asarray(ref, dtype=np.float32),
             rtol=6e-2, atol=6e-2,
         )
+
+
+def test_recommended_page_size():
+    # plan-time advisory (measured table: ps16 wins <=1k kv, ps32 beyond)
+    assert fi.recommended_page_size(512) == 16
+    assert fi.recommended_page_size(1024) == 16
+    assert fi.recommended_page_size(2048) == 32
+    assert fi.recommended_page_size(131072) == 32
