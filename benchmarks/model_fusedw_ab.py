@@ -28,5 +28,3 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
-# appended: also re-measure sampling (joint-headline reordering) in the
-# same process/draw

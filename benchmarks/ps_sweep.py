@@ -17,7 +17,7 @@ from benchmarks.routines.attention import bench_decode_attention  # noqa: E402
 
 
 def main() -> None:
-    for ps in (16, 32, 16):
+    for ps in (16, 32):
         r = bench_decode_attention(page_size=ps)
         r["page_size"] = ps
         print(json.dumps(r), flush=True)
